@@ -1,0 +1,23 @@
+"""Denoisers: the PnP proximal/prior step.
+
+Native TPU implementations of the reference's denoiser zoo
+(``denoisers/__init__.py:4-8``): wavelet-BayesShrink ("TV"), non-local
+means, BM3D, and CNN denoisers (RealSN-DnCNN / MMO) as Flax modules.
+"""
+
+from pnp_svrg_tpu.denoisers.tv import TVDenoiser
+from pnp_svrg_tpu.denoisers.nlm import NLMDenoiser, nlm_denoise
+
+try:  # BM3D lands with the kernel milestone
+    from pnp_svrg_tpu.denoisers.bm3d import BM3DDenoiser, bm3d_denoise
+except ImportError:  # pragma: no cover
+    BM3DDenoiser = None
+    bm3d_denoise = None
+
+__all__ = [
+    "TVDenoiser",
+    "NLMDenoiser",
+    "nlm_denoise",
+    "BM3DDenoiser",
+    "bm3d_denoise",
+]
