@@ -1,0 +1,145 @@
+"""BM3D tests: transform orthogonality, block-matching correctness on a
+constructed case, and end-to-end denoising quality vs. the simpler denoisers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnp_svrg_tpu.denoisers.bm3d import (
+    BM3DDenoiser,
+    BM3DParams,
+    bm3d_denoise,
+    _box_sum,
+    _match_distances,
+    _ref_grid,
+)
+from pnp_svrg_tpu.ops.transforms import dct_matrix, hadamard_matrix, haar_matrix
+
+
+class TestTransforms:
+    @pytest.mark.parametrize("n", [4, 8, 16])
+    def test_dct_orthonormal(self, n):
+        d = dct_matrix(n)
+        np.testing.assert_allclose(d @ d.T, np.eye(n), atol=1e-5)
+
+    @pytest.mark.parametrize("n", [2, 8, 16, 32])
+    def test_hadamard_orthonormal(self, n):
+        h = hadamard_matrix(n)
+        np.testing.assert_allclose(h @ h.T, np.eye(n), atol=1e-6)
+
+    @pytest.mark.parametrize("n", [2, 8, 16])
+    def test_haar_orthonormal(self, n):
+        h = haar_matrix(n)
+        np.testing.assert_allclose(h @ h.T, np.eye(n), atol=1e-6)
+
+    def test_hadamard_power_of_two_only(self):
+        with pytest.raises(ValueError):
+            hadamard_matrix(12)
+
+
+class TestMatching:
+    def test_box_sum_matches_naive(self, rng):
+        v = jnp.asarray(rng.standard_normal((12, 10)), jnp.float32)
+        out = _box_sum(v, 4)
+        naive = np.zeros((9, 7), np.float32)
+        vn = np.asarray(v)
+        for i in range(9):
+            for j in range(7):
+                naive[i, j] = vn[i : i + 4, j : j + 4].sum()
+        np.testing.assert_allclose(out, naive, atol=1e-4)
+
+    def test_ref_grid_covers_last_block(self):
+        g = _ref_grid(128, 8, 4)
+        assert g[0] == 0 and g[-1] == 120
+        g = _ref_grid(30, 8, 4)
+        assert g[-1] == 22  # non-divisible size still covers the edge
+
+    def test_self_distance_zero_and_duplicate_found(self, rng):
+        # An image with an exact duplicate patch: distance at the duplicating
+        # offset must be ~0.
+        img = np.asarray(rng.uniform(0, 1, (32, 32)), np.float32)
+        img[16:24, 16:24] = img[0:8, 0:8]  # duplicate patch at offset (16,16)
+        rows = jnp.asarray(np.array([0], np.int32))
+        cols = jnp.asarray(np.array([0], np.int32))
+        offsets = jnp.asarray(
+            np.array([[0, 0], [16, 16], [4, 4]], np.int32)
+        )
+        d = _match_distances(jnp.asarray(img), rows, cols, offsets, 8)
+        d = np.asarray(d)[:, 0, 0]
+        assert d[0] < 1e-5  # self
+        assert d[1] < 1e-5  # duplicate
+        assert d[2] > 1e-3  # generic offset
+
+    def test_out_of_bounds_offsets_are_inf(self, rng):
+        img = jnp.asarray(rng.uniform(0, 1, (16, 16)), jnp.float32)
+        rows = jnp.asarray(np.array([0], np.int32))
+        cols = jnp.asarray(np.array([0], np.int32))
+        offsets = jnp.asarray(np.array([[-1, 0], [0, -1], [9, 0]], np.int32))
+        d = np.asarray(_match_distances(img, rows, cols, offsets, 8))[:, 0, 0]
+        assert np.isinf(d[0]) and np.isinf(d[1]) and np.isinf(d[2])
+
+
+def _clean(h=64):
+    xx, yy = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, h))
+    return jnp.asarray(np.sin(6 * xx) * np.cos(5 * yy) * 0.3 + 0.5, jnp.float32)
+
+
+SMALL = BM3DParams(search=6, step=4)
+
+
+class TestDenoise:
+    def test_reduces_noise_strongly(self, rng):
+        clean = _clean()
+        noisy = clean + 0.1 * jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
+        out = bm3d_denoise(noisy, 0.1, params=SMALL)
+        mse_before = float(jnp.mean((noisy - clean) ** 2))
+        mse_after = float(jnp.mean((out - clean) ** 2))
+        assert mse_after < 0.25 * mse_before
+
+    def test_two_stages_beat_one(self, rng):
+        clean = _clean()
+        noisy = clean + 0.1 * jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
+        s1 = bm3d_denoise(noisy, 0.1, params=SMALL, stages=1)
+        s2 = bm3d_denoise(noisy, 0.1, params=SMALL, stages=2)
+        m1 = float(jnp.mean((s1 - clean) ** 2))
+        m2 = float(jnp.mean((s2 - clean) ** 2))
+        assert m2 <= m1 * 1.05  # Wiener stage shouldn't hurt
+
+    def test_beats_wavelet_on_texture(self, rng):
+        # BM3D's self-similarity exploitation should beat BayesShrink on a
+        # repetitive texture.
+        from pnp_svrg_tpu.ops.wavelet import denoise_wavelet_bayes
+
+        h = 64
+        xx, yy = np.meshgrid(np.arange(h), np.arange(h))
+        clean = jnp.asarray(0.5 + 0.3 * np.sin(2 * np.pi * xx / 8), jnp.float32)
+        noisy = clean + 0.12 * jnp.asarray(rng.standard_normal((h, h)), jnp.float32)
+        out_bm3d = bm3d_denoise(noisy, 0.12, params=SMALL)
+        out_wav = denoise_wavelet_bayes(noisy, 0.12)
+        m_bm3d = float(jnp.mean((out_bm3d - clean) ** 2))
+        m_wav = float(jnp.mean((out_wav - clean) ** 2))
+        assert m_bm3d < m_wav
+
+    def test_wrapper_contract(self, rng):
+        clean = _clean()
+        noisy = clean + 0.08 * jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
+        den = BM3DDenoiser(sigma_modifier=1.0, params=SMALL)
+        out = den.denoise(noisy, 0.08, 1)
+        assert float(jnp.mean((out - clean) ** 2)) < float(
+            jnp.mean((noisy - clean) ** 2)
+        )
+
+    def test_jit_cache_and_vmap(self, rng):
+        clean = _clean(32)
+        noisy = jnp.stack(
+            [
+                clean + 0.1 * jnp.asarray(rng.standard_normal((32, 32)), jnp.float32)
+                for _ in range(2)
+            ]
+        )
+        f = jax.vmap(lambda im: bm3d_denoise(im, 0.1, params=SMALL))
+        out = f(noisy)
+        assert out.shape == (2, 32, 32)
+        single = bm3d_denoise(noisy[0], 0.1, params=SMALL)
+        np.testing.assert_allclose(out[0], single, atol=1e-5)
