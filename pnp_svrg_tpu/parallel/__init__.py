@@ -1,0 +1,36 @@
+"""Distributed layer: device mesh, sharded gradients, batched runners.
+
+The reference's entire parallel story is a ``multiprocessing.Pool`` over
+Set12 images plus ``nn.DataParallel`` for CNN denoisers (SURVEY.md §2.10).
+Here parallelism is a first-class ``jax.sharding.Mesh`` with two axes:
+
+* ``batch`` — data parallel over images (the Pool replacement),
+* ``meas``  — measurement parallel: PR's dense A row-sharded / CSMRI mask
+  row-sharded, partial gradients reduced with ``psum`` over ICI (the
+  tensor-parallel analog; full-gradient snapshots in SVRG/SARAH become one
+  allreduce).
+"""
+
+from pnp_svrg_tpu.parallel.mesh import make_mesh, BATCH_AXIS, MEAS_AXIS
+from pnp_svrg_tpu.parallel.runner import (
+    stack_problems,
+    run_batch,
+    reconstruct_set12,
+)
+from pnp_svrg_tpu.parallel.sharded import (
+    shard_pr_problem,
+    pr_grad_full_sharded,
+    sharded_pnp_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "BATCH_AXIS",
+    "MEAS_AXIS",
+    "stack_problems",
+    "run_batch",
+    "reconstruct_set12",
+    "shard_pr_problem",
+    "pr_grad_full_sharded",
+    "sharded_pnp_step",
+]
