@@ -8,16 +8,21 @@ means, BM3D, and CNN denoisers (RealSN-DnCNN / MMO) as Flax modules.
 from pnp_svrg_tpu.denoisers.tv import TVDenoiser
 from pnp_svrg_tpu.denoisers.nlm import NLMDenoiser, nlm_denoise
 
-try:  # BM3D lands with the kernel milestone
-    from pnp_svrg_tpu.denoisers.bm3d import BM3DDenoiser, bm3d_denoise
-except ImportError:  # pragma: no cover
-    BM3DDenoiser = None
-    bm3d_denoise = None
+from pnp_svrg_tpu.denoisers.bm3d import BM3DDenoiser, BM3DParams, bm3d_denoise
+from pnp_svrg_tpu.denoisers.dncnn import (
+    DnCNNDenoiser,
+    MMODenoiser,
+    load_denoiser_params,
+)
 
 __all__ = [
     "TVDenoiser",
     "NLMDenoiser",
     "nlm_denoise",
     "BM3DDenoiser",
+    "BM3DParams",
     "bm3d_denoise",
+    "DnCNNDenoiser",
+    "MMODenoiser",
+    "load_denoiser_params",
 ]
