@@ -1,0 +1,102 @@
+"""Distributed-layer tests on the 8-device virtual CPU mesh: sharded
+gradients match single-device values, batched runner matches per-image runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnp_svrg_tpu.denoisers import TVDenoiser
+from pnp_svrg_tpu.parallel import (
+    make_mesh,
+    stack_problems,
+    run_batch,
+    shard_pr_problem,
+    pr_grad_full_sharded,
+    sharded_pnp_step,
+)
+from pnp_svrg_tpu.problems import make_csmri, make_phase_retrieval
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _img(h=16):
+    xx, yy = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, h))
+    return jnp.asarray(np.sin(4 * xx) * np.cos(3 * yy) * 0.4 + 0.5, jnp.float32)
+
+
+@needs_8
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = make_mesh((8, 1))
+        assert m.axis_names == ("batch", "meas")
+        m2 = make_mesh((4, 2))
+        assert m2.devices.shape == (4, 2)
+        with pytest.raises(ValueError):
+            make_mesh((3, 2))
+
+
+@needs_8
+class TestShardedPR:
+    def test_sharded_grad_matches_local(self, key):
+        p = make_phase_retrieval(key, _img(8), num_meas=256, snr=20)
+        mesh = make_mesh((1, 8))
+        ps = shard_pr_problem(p, mesh)
+        z = jax.random.uniform(jax.random.PRNGKey(1), (p.n,))
+        g_local = p.grad_full(z)
+        g_sharded = pr_grad_full_sharded(ps, z, mesh)
+        np.testing.assert_allclose(
+            np.asarray(g_sharded), np.asarray(g_local), atol=2e-5
+        )
+
+    def test_sharded_step_runs(self):
+        mesh = make_mesh((4, 2))
+        bsz, m, n, h, w = 8, 32, 64, 8, 8
+        key = jax.random.PRNGKey(0)
+        ka, kx = jax.random.split(key)
+        a = jax.random.normal(ka, (bsz, m, n))
+        x = jax.random.uniform(kx, (bsz, n))
+        y = jnp.abs(jnp.einsum("bmn,bn->bm", a, x))
+        z0 = jax.random.uniform(jax.random.PRNGKey(1), (bsz, n))
+        step = sharded_pnp_step(mesh, TVDenoiser(sigma_modifier=1.0), eta=0.05)
+        z1, psnr = step(a, y, x, z0, h, w)
+        assert z1.shape == (bsz, n)
+        assert np.isfinite(np.asarray(psnr)).all()
+        # One gradient step moves toward x on average.
+        d0 = float(jnp.mean((z0 - x) ** 2))
+        d1 = float(jnp.mean((z1 - x) ** 2))
+        assert d1 < d0
+
+
+@needs_8
+class TestBatchedRunner:
+    def test_run_batch_matches_individual(self, key):
+        probs = [
+            make_csmri(jax.random.PRNGKey(i), _img(16), sample_prob=0.5, snr=10)
+            for i in range(4)
+        ]
+        stacked = stack_problems(probs)
+        den = TVDenoiser(sigma_modifier=0.7)
+        keys = jax.random.split(jax.random.PRNGKey(7), 4)
+        out = run_batch("gd", stacked, den, keys=keys, eta=100.0, n_iters=4)
+        assert out["final_psnr"].shape == (4,)
+        from pnp_svrg_tpu.algorithms import pnp_gd
+
+        solo = pnp_gd(probs[2], den, eta=100.0, n_iters=4, key=keys[2])
+        np.testing.assert_allclose(
+            float(out["final_psnr"][2]), float(solo["final_psnr"]), atol=1e-3
+        )
+
+    def test_run_batch_on_mesh(self, key):
+        mesh = make_mesh((8, 1))
+        probs = [
+            make_csmri(jax.random.PRNGKey(i), _img(16), sample_prob=0.5, snr=10)
+            for i in range(8)
+        ]
+        stacked = stack_problems(probs)
+        den = TVDenoiser(sigma_modifier=0.7)
+        out = run_batch("gd", stacked, den, mesh=mesh, eta=100.0, n_iters=3)
+        assert out["final_psnr"].shape == (8,)
+        assert np.isfinite(np.asarray(out["final_psnr"])).all()

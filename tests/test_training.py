@@ -1,0 +1,135 @@
+"""Training subsystem tests: patch pipeline fidelity, checkpoint config
+guard, and a short end-to-end training run that actually reduces loss."""
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnp_svrg_tpu.training import (
+    TrainConfig,
+    train,
+    save_checkpoint,
+    load_checkpoint,
+    ConfigMismatch,
+)
+from pnp_svrg_tpu.training.data import (
+    im2patch,
+    augment,
+    build_patch_dataset,
+    batches,
+    REFERENCE_TRAIN_DIR,
+)
+
+have_ref_data = REFERENCE_TRAIN_DIR.exists()
+
+
+class TestPatchPipeline:
+    def test_im2patch_counts_and_content(self, rng):
+        img = rng.uniform(0, 1, (60, 50)).astype(np.float32)
+        ps = im2patch(img, patch=40, stride=10)
+        assert ps.shape == (3 * 2, 40, 40)
+        np.testing.assert_array_equal(ps[0], img[:40, :40])
+        np.testing.assert_array_equal(ps[-1], img[20:60, 10:50])
+
+    def test_augment_modes_are_bijective(self, rng):
+        p = rng.uniform(0, 1, (8, 8)).astype(np.float32)
+        outs = [augment(p, m) for m in range(8)]
+        # All 8 variants distinct for a generic patch, same multiset of pixels.
+        for i in range(8):
+            np.testing.assert_allclose(np.sort(outs[i].ravel()), np.sort(p.ravel()))
+        assert len({o.tobytes() for o in outs}) == 8
+        with pytest.raises(ValueError):
+            augment(p, 8)
+
+    def test_batches_noise_model(self, rng, tmp_path):
+        patches = rng.uniform(0, 1, (300, 40, 40)).astype(np.float32)
+        got = list(batches(patches, 64, 25 / 255.0, seed=0))
+        assert len(got) == 4  # drop_last
+        noisy, noise = got[0]
+        assert noisy.shape == (64, 40, 40, 1)
+        est = np.std(noise)
+        assert abs(est - 25 / 255.0) / (25 / 255.0) < 0.1
+        # blind mode: per-sample sigmas differ
+        noisy_b, noise_b = next(iter(batches(patches, 64, (0.0, 55 / 255.0), seed=0)))
+        per_sample = noise_b.reshape(64, -1).std(axis=1)
+        assert per_sample.std() > 0.01
+
+    @pytest.mark.skipif(not have_ref_data, reason="reference data not mounted")
+    def test_build_dataset_from_reference(self):
+        ps = build_patch_dataset(max_images=2)
+        assert ps.ndim == 3 and ps.shape[1:] == (40, 40)
+        assert len(ps) > 100
+        assert 0.0 <= ps.min() and ps.max() <= 1.0
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        state = {
+            "variables": {"params": {"Conv_0": {"kernel": np.ones((3, 3, 1, 4))}}},
+            "epoch": 3,
+        }
+        cfg = {"depth": 17, "lr": 1e-3}
+        save_checkpoint(tmp_path / "exp", state, cfg)
+        loaded = load_checkpoint(tmp_path / "exp", cfg)
+        assert loaded["epoch"] == 3
+        np.testing.assert_array_equal(
+            loaded["variables"]["params"]["Conv_0"]["kernel"],
+            state["variables"]["params"]["Conv_0"]["kernel"],
+        )
+
+    def test_config_guard(self, tmp_path):
+        save_checkpoint(tmp_path / "exp", {"epoch": 1}, {"depth": 17})
+        with pytest.raises(ConfigMismatch):
+            save_checkpoint(tmp_path / "exp", {"epoch": 2}, {"depth": 20})
+        with pytest.raises(ConfigMismatch):
+            load_checkpoint(tmp_path / "exp", {"depth": 20})
+
+    def test_missing_returns_none(self, tmp_path):
+        assert load_checkpoint(tmp_path / "nope") is None
+
+
+@pytest.mark.skipif(not have_ref_data, reason="reference data not mounted")
+class TestTrainEndToEnd:
+    def test_short_run_reduces_loss_and_resumes(self, tmp_path):
+        cfg = TrainConfig(
+            depth=3, features=8, use_bn=False, lip=0.0, batch_size=16,
+            epochs=2, milestone=1, lr=1e-3, noise_level=25.0,
+        )
+        exp = tmp_path / "exp"
+        _, hist = train(
+            cfg, exp, max_images=1, max_steps_per_epoch=8, verbose=False,
+        )
+        assert len(hist) == 2
+        assert np.isfinite(hist[-1]["train_loss"])
+        assert hist[1]["lr"] == cfg.lr / 10  # milestone decay applied
+        assert (exp / "scalars.jsonl").exists()
+        lines = (exp / "scalars.jsonl").read_text().strip().splitlines()
+        assert len(lines) == 2 and json.loads(lines[0])["epoch"] == 0
+        # Resume: nothing left to do (epochs already reached), state loads.
+        _, hist2 = train(
+            cfg, exp, max_images=1, max_steps_per_epoch=8, verbose=False,
+        )
+        assert hist2 == []
+
+    def test_realsn_constraint_bounds_sigma(self, tmp_path):
+        from pnp_svrg_tpu.models.spectral_norm import conv_power_iteration, init_u
+        import jax
+
+        cfg = TrainConfig(
+            depth=3, features=8, use_bn=False, lip=1.0, batch_size=16,
+            epochs=1, lr=1e-3, noise_level=25.0, sn_iters=5,
+        )
+        variables, _ = train(
+            cfg, tmp_path / "exp_sn", max_images=1, max_steps_per_epoch=5,
+            verbose=False,
+        )
+        target = 1.0 ** (1 / 3)
+        for i, (name, layer) in enumerate(variables["params"].items()):
+            if not name.startswith("Conv_"):
+                continue
+            u = init_u(jax.random.PRNGKey(i), layer["kernel"].shape[-1], hw=16)
+            sigma, _ = conv_power_iteration(layer["kernel"], u, n_iters=30)
+            assert float(sigma) < target * 1.2, (name, float(sigma))

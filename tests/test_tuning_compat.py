@@ -1,0 +1,159 @@
+"""Tests for the TPE tuner, sweep runner, and reference-compat wall-clock API."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnp_svrg_tpu.denoisers import TVDenoiser
+from pnp_svrg_tpu.problems import make_csmri
+from pnp_svrg_tpu.tuning import fmin, Uniform, LogUniform, QUniform, Choice
+from pnp_svrg_tpu.tuning.sweep import sweep_grid, default_space
+from pnp_svrg_tpu.algorithms import compat
+
+
+def _problem(key=None, h=32):
+    key = key or jax.random.PRNGKey(0)
+    xx, yy = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, h))
+    img = jnp.asarray(np.sin(4 * xx) * np.cos(3 * yy) * 0.4 + 0.5, jnp.float32)
+    return make_csmri(key, img, sample_prob=0.5, snr=10)
+
+
+class TestTPE:
+    def test_minimizes_quadratic(self):
+        best, trials = fmin(
+            lambda p: (p["x"] - 0.3) ** 2 + (p["y"] - 2.0) ** 2,
+            {"x": Uniform(0, 1), "y": Uniform(0, 5)},
+            max_evals=60,
+            seed=0,
+        )
+        assert abs(best["x"] - 0.3) < 0.15
+        assert abs(best["y"] - 2.0) < 0.8
+
+    def test_loguniform_handles_scale(self):
+        best, _ = fmin(
+            lambda p: abs(np.log10(p["eta"]) - 2.0),
+            {"eta": LogUniform(1e-3, 1e5)},
+            max_evals=50,
+            seed=1,
+        )
+        assert 10 < best["eta"] < 1000
+
+    def test_quniform_is_integer(self):
+        best, trials = fmin(
+            lambda p: abs(p["n"] - 7),
+            {"n": QUniform(1, 20, 1)},
+            max_evals=30,
+            seed=0,
+        )
+        assert all(isinstance(t.params["n"], int) for t in trials.trials)
+        assert best["n"] == 7
+
+    def test_choice_sampling(self):
+        best, _ = fmin(
+            lambda p: 0.0 if p["c"] == "b" else 1.0,
+            {"c": Choice(["a", "b", "c"])},
+            max_evals=30,
+            seed=0,
+        )
+        assert best["c"] == "b"
+
+    def test_dict_objective(self):
+        _, trials = fmin(
+            lambda p: {"loss": p["x"], "aux": 42},
+            {"x": Uniform(0, 1)},
+            max_evals=5,
+        )
+        assert trials.best.extra["aux"] == 42
+
+
+class TestSweep:
+    def test_single_cell_improves(self, tmp_path):
+        prob = _problem()
+        cells = [
+            {
+                "problem": prob,
+                "algo": "gd",
+                "denoiser_factory": lambda d: TVDenoiser(sigma_modifier=d),
+                "problem_name": "csmri",
+                "denoiser_name": "tv",
+                "image": "synthetic",
+                "ratio": 0.5,
+                "snr": 10,
+            }
+        ]
+        out = sweep_grid(
+            cells, max_evals=6, n_iters=15,
+            csv_path=tmp_path / "sweep.csv", verbose=False,
+        )
+        assert len(out) == 1
+        assert out[0].best_loss < 0  # PSNR improved over init
+        assert (tmp_path / "sweep.csv").exists()
+        text = (tmp_path / "sweep.csv").read_text()
+        assert "csmri" in text and "tv" in text
+
+    def test_default_spaces(self):
+        s = default_space("svrg", 1024)
+        assert set(s) == {"eta", "dstrength", "mini_batch_size", "t2"}
+        assert set(default_space("gd", 1024)) == {"eta", "dstrength"}
+        assert "hist_size" in default_space("saga", 1024)
+
+
+class TestCompat:
+    def test_gd_reference_dict_shape(self):
+        prob = _problem()
+        den = TVDenoiser(sigma_modifier=0.7)
+        out = compat.pnp_gd(prob, den, eta=100.0, tt=3.0, converge_check=False)
+        assert set(out) == {
+            "z", "time_per_iter", "psnr_per_iter", "gradient_time",
+            "denoise_time", "algo_name",
+        }
+        assert out["algo_name"] == "PnP GD"
+        assert len(out["time_per_iter"]) == len(out["psnr_per_iter"])
+        assert out["gradient_time"] > 0 and out["denoise_time"] > 0
+        # PSNRs rounded to 2 decimals like the reference.
+        for p in out["psnr_per_iter"]:
+            assert abs(p - round(p, 2)) < 1e-9
+        assert out["psnr_per_iter"][-1] > out["psnr_per_iter"][0]
+
+    def test_svrg_runs_and_improves(self):
+        prob = _problem()
+        den = TVDenoiser(sigma_modifier=0.7)
+        out = compat.pnp_svrg(
+            prob, den, eta=100.0, tt=3.0, T2=5, mini_batch_size=100,
+            converge_check=False,
+        )
+        assert out["psnr_per_iter"][-1] > out["psnr_per_iter"][0]
+
+    @pytest.mark.parametrize("fn,extra", [
+        (compat.pnp_sgd, dict(mini_batch_size=100)),
+        (compat.pnp_saga, dict(mini_batch_size=100, hist_size=5)),
+        (compat.pnp_sarah, dict(T2=4, mini_batch_size=100)),
+    ])
+    def test_stochastic_variants_run(self, fn, extra):
+        prob = _problem()
+        den = TVDenoiser(sigma_modifier=0.7)
+        out = fn(prob, den, eta=50.0, tt=2.0, converge_check=False, **extra)
+        assert len(out["psnr_per_iter"]) > 1
+        assert np.isfinite(out["psnr_per_iter"]).all()
+
+    def test_wallclock_budget_respected(self):
+        prob = _problem()
+        den = TVDenoiser(sigma_modifier=0.7)
+        import time
+
+        t0 = time.time()
+        compat.pnp_gd(prob, den, eta=100.0, tt=1.5, converge_check=False)
+        # Budget + at most one straggler iteration (compile excluded is
+        # impossible here, so allow generous slack for the first jit).
+        assert time.time() - t0 < 60
+
+    def test_tuner_adapter(self):
+        prob = _problem()
+        den = TVDenoiser()
+        out = compat.tune_pnp_gd(
+            (100.0, 0.7), prob, den, tt=2.0,
+            converge_check=False, diverge_check=True,
+        )
+        assert "loss" in out and out["status"] == "ok"
+        assert out["loss"] < 0  # improvement => negative loss

@@ -1,0 +1,49 @@
+"""Viz/reporting tests (headless matplotlib)."""
+
+import numpy as np
+import jax
+
+from pnp_svrg_tpu.algorithms import pnp_gd
+from pnp_svrg_tpu.denoisers import TVDenoiser
+from pnp_svrg_tpu.problems import make_csmri
+from pnp_svrg_tpu.utils.viz import (
+    summarize_results,
+    write_metrics_csv,
+    display_results,
+    show_grid,
+)
+import jax.numpy as jnp
+
+
+def _run(key):
+    xx, yy = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 16))
+    img = jnp.asarray(np.sin(4 * xx) * np.cos(3 * yy) * 0.4 + 0.5, jnp.float32)
+    prob = make_csmri(key, img, sample_prob=0.5, snr=10)
+    out = pnp_gd(prob, TVDenoiser(sigma_modifier=0.7), eta=100.0, n_iters=3)
+    return prob, out
+
+
+def test_summarize(key):
+    prob, out = _run(key)
+    s = summarize_results(prob, out)
+    assert s["n_iters"] == 3
+    assert s["delta_psnr"] == s["output_psnr"] - float(out["psnr_per_iter"][0])
+
+
+def test_display_and_csv(key, tmp_path):
+    prob, out = _run(key)
+    s = display_results(prob, out, save_results=True, save_dir=tmp_path)
+    pngs = list(tmp_path.rglob("*.png"))
+    csvs = list(tmp_path.rglob("metrics.csv"))
+    assert pngs and csvs
+    text = csvs[0].read_text()
+    assert "output_psnr" in text
+
+    write_metrics_csv([s, s], tmp_path / "multi.csv")
+    assert len((tmp_path / "multi.csv").read_text().strip().splitlines()) == 3
+
+
+def test_show_grid(key):
+    imgs = [np.zeros((8, 8)), np.ones((8, 8))]
+    fig = show_grid(imgs, titles=["a", "b"], ncols=2)
+    assert fig is not None
