@@ -17,6 +17,10 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: repeated bench runs skip the (slow) first
+# XLA compile of the batched scan program.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 BASELINE_ITERS_PER_SEC = 2.9  # midpoint of the reference's 2.5-3.3 it/s
 
 
@@ -24,9 +28,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from pnp_svrg_tpu.algorithms import pnp_svrg
+    from pnp_svrg_tpu.algorithms.loops import pnp_svrg
+    from pnp_svrg_tpu.core.batched import stack_problems
     from pnp_svrg_tpu.denoisers.bm3d import BM3DDenoiser, BM3DParams
-    from pnp_svrg_tpu.parallel.runner import stack_problems
     from pnp_svrg_tpu.problems import make_csmri
     from pnp_svrg_tpu.utils.io import set12_paths, load_image
 
@@ -42,14 +46,14 @@ def main():
         make_csmri(k, jnp.asarray(load_image(p, h, w)), sample_prob=0.5, snr=10)
         for k, p in zip(keys, paths)
     ]
-    stacked = stack_problems(problems)
+    batched = stack_problems(problems)
     bsz = len(problems)
     den = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=8))
-    run_keys = jax.random.split(jax.random.PRNGKey(1), bsz)
 
-    def single(problem, key):
+    def run(problem_batch, key):
+        # Batch-polymorphic loop: (B, N) state, denoiser sees (B, H, W).
         out = pnp_svrg(
-            problem,
+            problem_batch,
             den,
             eta=eta,
             n_outer=n_outer,
@@ -57,18 +61,15 @@ def main():
             mini_batch_size=mb,
             key=key,
         )
-        # algo_name is a host-side string; keep only array outputs for vmap.
         return {k: out[k] for k in ("z", "psnr_per_iter", "final_psnr")}
 
-    run = jax.jit(jax.vmap(single))
-
     t0 = time.time()
-    out = run(stacked, run_keys)
+    out = run(batched, jax.random.PRNGKey(1))
     jax.block_until_ready(out)
     compile_and_first = time.time() - t0
 
     t0 = time.time()
-    out = run(stacked, run_keys)
+    out = run(batched, jax.random.PRNGKey(2))
     jax.block_until_ready(out)
     steady = time.time() - t0
 

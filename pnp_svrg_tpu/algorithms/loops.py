@@ -59,21 +59,35 @@ class IterLog(NamedTuple):
     sigma_est: jnp.ndarray
 
 
+def _z0_of(problem):
+    """Initial flat state: (N,) for one problem, (B, N) for a batch."""
+    xi = problem.x_init
+    return xi.reshape(xi.shape[:-2] + (-1,))
+
+
 def _denoise_step(problem, denoiser, z_flat, v, step_size, t):
-    """Gradient update + sigma estimate + denoise; returns (z', log pieces)."""
-    z_flat = z_flat - step_size * v.ravel()
-    img = z_flat.reshape(problem.h, problem.w)
+    """Gradient update + sigma estimate + denoise; returns (z', log pieces).
+
+    Batch-polymorphic: ``z_flat`` is (N,) or (B, N); denoisers receive the
+    full (B, H, W) stack in one call (native batched kernels, no vmap).
+    """
+    z_flat = z_flat - step_size * v.reshape(z_flat.shape)
+    img = z_flat.reshape(z_flat.shape[:-1] + (problem.h, problem.w))
     psnr_mid = problem.psnr(img)
     sig = estimate_sigma(img)
     img = denoiser.denoise(img, sig, t)
-    return img.ravel(), problem.psnr(img), psnr_mid, sig
+    return img.reshape(z_flat.shape), problem.psnr(img), psnr_mid, sig
 
 
 def _latch(done, old, new):
-    """Freeze pytree ``new`` to ``old`` once ``done`` is set."""
-    return jax.tree_util.tree_map(
-        lambda o, n: jnp.where(done, o, n), old, new
-    )
+    """Freeze pytree ``new`` to ``old`` once ``done`` is set (done may carry
+    a batch shape; it broadcasts against trailing state axes)."""
+
+    def sel(o, n):
+        d = done.reshape(done.shape + (1,) * (o.ndim - done.ndim))
+        return jnp.where(d, o, n)
+
+    return jax.tree_util.tree_map(sel, old, new)
 
 
 def _check_done(done, start_psnr, psnr_after, converge_check, diverge_check):
@@ -85,11 +99,14 @@ def _check_done(done, start_psnr, psnr_after, converge_check, diverge_check):
     return done | newly
 
 
+def _img_of(problem, z_flat):
+    return z_flat.reshape(z_flat.shape[:-1] + (problem.h, problem.w))
+
+
 def _result(problem, z, psnr_trace):
-    img = z.reshape(problem.h, problem.w)
     return {
         "z": z,
-        "image": img,
+        "image": _img_of(problem, z),
         "psnr_per_iter": psnr_trace,
         "final_psnr": psnr_trace[-1],
     }
@@ -116,7 +133,7 @@ def pnp_gd(
 ):
     """Full-gradient PnP descent."""
     del key  # deterministic
-    z0 = problem.x_init.ravel()
+    z0 = _z0_of(problem)
     eta = jnp.asarray(eta, jnp.float32)
     lr_decay = jnp.asarray(lr_decay, jnp.float32)
 
@@ -130,16 +147,17 @@ def pnp_gd(
         done_new = _check_done(
             done, start_psnr, psnr_after, converge_check, diverge_check
         )
-        z = jnp.where(done, z, z_new)
-        t = jnp.where(done, t, t + 1)
+        z = jnp.where(done[..., None] if done.ndim else done, z, z_new)
+        t = jnp.where(jnp.all(done), t, t + 1)
         log = IterLog(jnp.where(done, start_psnr, psnr_after), psnr_mid, sig)
         return (z, t, done_new), log
 
-    init = (z0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    done0 = jnp.zeros(z0.shape[:-1], bool)
+    init = (z0, jnp.asarray(0, jnp.int32), done0)
     (z, _, _), logs = jax.lax.scan(
         body, init, jnp.arange(n_iters, dtype=jnp.float32)
     )
-    trace = jnp.concatenate([problem.psnr(z0)[None], logs.psnr])
+    trace = jnp.concatenate([problem.psnr(_img_of(problem, z0))[None], logs.psnr])
     return _result(problem, z, trace)
 
 
@@ -169,7 +187,7 @@ def pnp_sgd(
     diverge_check: bool = False,
 ):
     """Minibatch stochastic PnP descent."""
-    z0 = problem.x_init.ravel()
+    z0 = _z0_of(problem)
     eta = jnp.asarray(eta, jnp.float32)
     lr_decay = jnp.asarray(lr_decay, jnp.float32)
     b = float(mini_batch_size)
@@ -186,16 +204,17 @@ def pnp_sgd(
         done_new = _check_done(
             done, start_psnr, psnr_after, converge_check, diverge_check
         )
-        z = jnp.where(done, z, z_new)
-        t = jnp.where(done, t, t + 1)
+        z = jnp.where(done[..., None] if done.ndim else done, z, z_new)
+        t = jnp.where(jnp.all(done), t, t + 1)
         log = IterLog(jnp.where(done, start_psnr, psnr_after), psnr_mid, sig)
         return (z, t, done_new, k), log
 
-    init = (z0, jnp.asarray(0, jnp.int32), jnp.asarray(False), key)
+    done0 = jnp.zeros(z0.shape[:-1], bool)
+    init = (z0, jnp.asarray(0, jnp.int32), done0, key)
     (z, _, _, _), logs = jax.lax.scan(
         body, init, jnp.arange(n_iters, dtype=jnp.float32)
     )
-    trace = jnp.concatenate([problem.psnr(z0)[None], logs.psnr])
+    trace = jnp.concatenate([problem.psnr(_img_of(problem, z0))[None], logs.psnr])
     return _result(problem, z, trace)
 
 
@@ -238,7 +257,7 @@ def pnp_svrg(
     """
     if variant not in ("svrg", "faithful"):
         raise ValueError(f"unknown svrg variant {variant!r}")
-    z0 = problem.x_init.ravel()
+    z0 = _z0_of(problem)
     eta = jnp.asarray(eta, jnp.float32)
     lr_decay = jnp.asarray(lr_decay, jnp.float32)
     b = float(mini_batch_size)
@@ -258,8 +277,8 @@ def pnp_svrg(
         done_new = _check_done(
             done, start_psnr, psnr_after, converge_check, diverge_check
         )
-        z = jnp.where(done, z, z_new)
-        t = jnp.where(done, t, t + 1)
+        z = jnp.where(done[..., None] if done.ndim else done, z, z_new)
+        t = jnp.where(jnp.all(done), t, t + 1)
         log = IterLog(jnp.where(done, start_psnr, psnr_after), psnr_mid, sig)
         return (z, w, mu, t, done_new, k, i), log
 
@@ -273,18 +292,18 @@ def pnp_svrg(
         )
         return (z, t, done, k), (snap_psnr, logs)
 
-    init = (z0, jnp.asarray(0, jnp.int32), jnp.asarray(False), key)
+    done0 = jnp.zeros(z0.shape[:-1], bool)
+    init = (z0, jnp.asarray(0, jnp.int32), done0, key)
     (z, _, _, _), (snap_psnrs, logs) = jax.lax.scan(
         outer_body, init, jnp.arange(n_outer, dtype=jnp.float32)
     )
     # Interleave: [init, (snapshot, T2 inner entries) * n_outer] — the
     # reference's log layout (pnp_svrg.py:21-22,37-38,79-80).
-    inner = logs.psnr  # (n_outer, t2)
+    inner = logs.psnr  # (n_outer, t2) or (n_outer, t2, B)
+    tail = snap_psnrs.shape[1:]
+    inter = jnp.concatenate([snap_psnrs[:, None], inner], axis=1)
     trace = jnp.concatenate(
-        [
-            problem.psnr(z0)[None],
-            jnp.concatenate([snap_psnrs[:, None], inner], axis=1).ravel(),
-        ]
+        [problem.psnr(_img_of(problem, z0))[None], inter.reshape((-1,) + tail)]
     )
     return _result(problem, z, trace)
 
@@ -317,14 +336,14 @@ def pnp_saga(
     diverge_check: bool = False,
 ):
     """Table-based approximate SAGA with a (hist_size, N) gradient history."""
-    z0 = problem.x_init.ravel()
+    z0 = _z0_of(problem)
     eta = jnp.asarray(eta, jnp.float32)
     lr_decay = jnp.asarray(lr_decay, jnp.float32)
     b = float(mini_batch_size)
 
     key, k0 = jax.random.split(key)
-    g0 = problem.grad_stoch(z0, problem.select_mb(k0, mini_batch_size)).ravel() / b
-    table0 = jnp.tile(g0[None, :], (hist_size, 1))
+    g0 = problem.grad_stoch(z0, problem.select_mb(k0, mini_batch_size)).reshape(z0.shape) / b
+    table0 = jnp.tile(g0[None], (hist_size,) + (1,) * g0.ndim)
     tsum0 = g0 * hist_size
 
     def body(state, i):
@@ -332,7 +351,7 @@ def pnp_saga(
         k, k_mb, k_slot = jax.random.split(k, 3)
         start_psnr = problem.psnr(z)
         slot = jax.random.randint(k_slot, (), 0, hist_size)
-        g = problem.grad_stoch(z, problem.select_mb(k_mb, mini_batch_size)).ravel() / b
+        g = problem.grad_stoch(z, problem.select_mb(k_mb, mini_batch_size)).reshape(z.shape) / b
         old = table[slot]
         table_new = table.at[slot].set(g)
         tsum_new = tsum + g - old
@@ -343,20 +362,24 @@ def pnp_saga(
         done_new = _check_done(
             done, start_psnr, psnr_after, converge_check, diverge_check
         )
-        # Latch all mutable state once done.
-        z = jnp.where(done, z, z_new)
-        t = jnp.where(done, t, t + 1)
-        table = _latch(done, table, table_new)
-        tsum = _latch(done, tsum, tsum_new)
-        prev = _latch(done, prev, g)  # prev <- fresh slot value (pnp_saga.py:72)
+        # Latch all mutable state once done. The table carries a leading
+        # hist axis, so the done mask broadcasts as (1, B, 1) when batched.
+        dm = done[..., None] if done.ndim else done
+        dm_table = dm[None] if done.ndim else done
+        z = jnp.where(dm, z, z_new)
+        t = jnp.where(jnp.all(done), t, t + 1)
+        table = jnp.where(dm_table, table, table_new)
+        tsum = jnp.where(dm, tsum, tsum_new)
+        prev = jnp.where(dm, prev, g)  # prev <- fresh slot value (pnp_saga.py:72)
         log = IterLog(jnp.where(done, start_psnr, psnr_after), psnr_mid, sig)
         return (z, t, done_new, k, table, tsum, prev), log
 
-    init = (z0, jnp.asarray(0, jnp.int32), jnp.asarray(False), key, table0, tsum0, g0)
+    done0 = jnp.zeros(z0.shape[:-1], bool)
+    init = (z0, jnp.asarray(0, jnp.int32), done0, key, table0, tsum0, g0)
     (z, _, _, _, _, _, _), logs = jax.lax.scan(
         body, init, jnp.arange(n_iters, dtype=jnp.float32)
     )
-    trace = jnp.concatenate([problem.psnr(z0)[None], logs.psnr])
+    trace = jnp.concatenate([problem.psnr(_img_of(problem, z0))[None], logs.psnr])
     return _result(problem, z, trace)
 
 
@@ -399,7 +422,7 @@ def pnp_sarah(
     """
     if variant not in ("sarah", "faithful"):
         raise ValueError(f"unknown sarah variant {variant!r}")
-    z0 = problem.x_init.ravel()
+    z0 = _z0_of(problem)
     eta = jnp.asarray(eta, jnp.float32)
     lr_decay = jnp.asarray(lr_decay, jnp.float32)
     b = float(mini_batch_size)
@@ -411,8 +434,8 @@ def pnp_sarah(
         mb = problem.select_mb(k_mb, mini_batch_size)
         anchor = w_fix if variant == "faithful" else z
         v_next = (
-            problem.grad_stoch(anchor, mb).ravel()
-            - problem.grad_stoch(w_prev, mb).ravel()
+            problem.grad_stoch(anchor, mb).reshape(z.shape)
+            - problem.grad_stoch(w_prev, mb).reshape(z.shape)
         ) / b + v_prev
         z_new, psnr_after, psnr_mid, sig = _denoise_step(
             problem, denoiser, z, v_next, eta * lr_decay**i, t + 1
@@ -421,8 +444,8 @@ def pnp_sarah(
             done, start_psnr, psnr_after, converge_check, diverge_check
         )
         w_prev_new = z_new  # reference: w_previous <- denoised iterate (:98)
-        z = jnp.where(done, z, z_new)
-        t = jnp.where(done, t, t + 1)
+        z = jnp.where(done[..., None] if done.ndim else done, z, z_new)
+        t = jnp.where(jnp.all(done), t, t + 1)
         w_prev = _latch(done, w_prev, w_prev_new)
         v_prev = _latch(done, v_prev, v_next)
         log = IterLog(jnp.where(done, start_psnr, psnr_after), psnr_mid, sig)
@@ -431,11 +454,11 @@ def pnp_sarah(
     def outer_body(state, i):
         z, t, done, k = state
         w_prev = z
-        v_prev = problem.grad_full(z).ravel()
+        v_prev = problem.grad_full(z).reshape(z.shape)
         # "Step 1" point: single full-gradient step, denoised (:36-48).
         w1, psnr1, _, _ = _denoise_step(problem, denoiser, z, v_prev, eta, t + 1)
-        t = jnp.where(done, t, t + 1)
-        w1 = jnp.where(done, z, w1)
+        t = jnp.where(jnp.all(done), t, t + 1)
+        w1 = jnp.where(done[..., None] if done.ndim else done, z, w1)
         if variant == "faithful":
             # Reference keeps z at the outer-start point for the first inner
             # update; w1 only serves as the frozen recursion anchor.
@@ -448,16 +471,16 @@ def pnp_sarah(
         )
         return (z, t, done, k), (psnr1, logs)
 
-    init = (z0, jnp.asarray(0, jnp.int32), jnp.asarray(False), key)
+    done0 = jnp.zeros(z0.shape[:-1], bool)
+    init = (z0, jnp.asarray(0, jnp.int32), done0, key)
     (z, _, _, _), (step1_psnrs, logs) = jax.lax.scan(
         outer_body, init, jnp.arange(n_outer, dtype=jnp.float32)
     )
-    inner = logs.psnr  # (n_outer, t2)
+    inner = logs.psnr  # (n_outer, t2) or (n_outer, t2, B)
+    tail = step1_psnrs.shape[1:]
+    inter = jnp.concatenate([step1_psnrs[:, None], inner], axis=1)
     trace = jnp.concatenate(
-        [
-            problem.psnr(z0)[None],
-            jnp.concatenate([step1_psnrs[:, None], inner], axis=1).ravel(),
-        ]
+        [problem.psnr(_img_of(problem, z0))[None], inter.reshape((-1,) + tail)]
     )
     return _result(problem, z, trace)
 

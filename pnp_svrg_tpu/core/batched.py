@@ -1,0 +1,84 @@
+"""Batched problem adapter: one pytree, B images, the same protocol.
+
+Wraps a stacked problem pytree (leading batch axis on every data field) and
+exposes the single-problem protocol with vmapped gradient/metric methods and
+split-key minibatch sampling. The PnP loops in ``algorithms/loops.py`` are
+batch-polymorphic: handed a ``BatchedProblem`` they carry (B, N) state, log
+(iters, B) traces, latch convergence per image — and call the *denoiser*
+once per step with the full (B, H, W) stack, which routes BM3D/NLM/CNN
+denoisers into their natively-batched kernels instead of pathological
+vmapped gather/scatter lowerings.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+class BatchedProblem:
+    """Stacked problems behind the single-problem duck-typed interface."""
+
+    def __init__(self, problems):
+        self.problems = problems
+
+    @property
+    def batch_size(self) -> int:
+        return jax.tree_util.tree_leaves(self.problems)[0].shape[0]
+
+    @property
+    def h(self) -> int:
+        return self.problems.h
+
+    @property
+    def w(self) -> int:
+        return self.problems.w
+
+    @property
+    def n(self) -> int:
+        return self.problems.h * self.problems.w
+
+    @property
+    def m(self) -> int:
+        return self.problems.m
+
+    @property
+    def x_init(self) -> jnp.ndarray:
+        return self.problems.x_init  # (B, H, W)
+
+    @property
+    def x(self) -> jnp.ndarray:
+        return self.problems.x
+
+    def psnr(self, z: jnp.ndarray) -> jnp.ndarray:
+        return jax.vmap(lambda p, zi: p.psnr(zi))(self.problems, z)
+
+    def f(self, z: jnp.ndarray) -> jnp.ndarray:
+        return jax.vmap(lambda p, zi: p.f(zi))(self.problems, z)
+
+    def grad_full(self, z: jnp.ndarray) -> jnp.ndarray:
+        return jax.vmap(lambda p, zi: p.grad_full(zi))(self.problems, z)
+
+    def grad_stoch(self, z: jnp.ndarray, mb) -> jnp.ndarray:
+        return jax.vmap(lambda p, zi, mi: p.grad_stoch(zi, mi))(
+            self.problems, z, mb
+        )
+
+    def select_mb(self, key: jax.Array, k: int):
+        keys = jax.random.split(key, self.batch_size)
+        return jax.vmap(lambda p, kk: p.select_mb(kk, k))(self.problems, keys)
+
+
+jax.tree_util.register_pytree_node(
+    BatchedProblem,
+    lambda bp: ((bp.problems,), None),
+    lambda aux, children: BatchedProblem(children[0]),
+)
+
+
+def stack_problems(problems):
+    """Stack same-shape problem pytrees into a :class:`BatchedProblem`."""
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *problems)
+    return BatchedProblem(stacked)

@@ -11,12 +11,12 @@ output as a pilot estimate.
 TPU-native design choices (vs. the CPU algorithm's irregular loops):
 
 * **Block matching in shift space.** Instead of per-reference-block searches,
-  distances are computed per *offset*: for each of the (2r+1)^2 search
-  offsets d, the squared-difference image ``(I - shift_d(I))^2`` is
-  box-filtered with the patch window via two cumulative sums — O(N) perfectly
-  vectorized VPU work per offset, evaluated on the reference stride grid by a
-  static strided gather. ``lax.scan`` over offsets keeps the compiled program
-  small; no data-dependent control flow anywhere.
+  distances are computed per *offset*: for each of the (2r+1)^2 static search
+  offsets d, the squared-difference image against the statically-sliced
+  shifted image is box-filtered with separable ``reduce_window`` sums — O(N)
+  perfectly vectorized VPU work per offset, read off at the reference stride
+  grid with a constant gather. No dynamic rolls, no scan-carried index math,
+  no data-dependent control flow anywhere.
 * **Fixed group size K via top_k** over the offset axis (the GPU-style
   variant of the paper's tau-thresholded variable-size groups; keeps every
   shape static for XLA).
@@ -25,9 +25,14 @@ TPU-native design choices (vs. the CPU algorithm's irregular loops):
 * **Aggregation by scatter-add** with per-group weights ``1/(sigma^2 N_kept)``
   (hard) / ``1/(sigma^2 ||W||^2)`` (Wiener) times a 2-D Kaiser window,
   identical weighting to the reference algorithm.
+* **Native image batching.** The whole pipeline carries an explicit leading
+  batch axis: gathers use flat global indices into (B*P, 64) patch tables and
+  aggregation is one flat scatter into (B*H*W,). This is 1-2 orders of
+  magnitude faster than ``vmap`` of a single-image kernel, whose batched
+  gather/scatter lowerings serialize on TPU.
 
-Everything is shape-static given (H, W, params): jit once, vmap over image
-batches, shard over the mesh batch axis.
+Everything is shape-static given (B, H, W, params): jit once, shard the batch
+axis over the mesh.
 """
 
 from __future__ import annotations
@@ -64,59 +69,88 @@ def _ref_grid(size: int, block: int, step: int) -> np.ndarray:
     return np.asarray(pts, np.int32)
 
 
-def _box_sum(v: jnp.ndarray, block: int) -> jnp.ndarray:
-    """(H, W) -> (H-b+1, W-b+1) sums over every b x b window (integral image)."""
-    c = jnp.cumsum(jnp.cumsum(v, axis=0), axis=1)
-    c = jnp.pad(c, ((1, 0), (1, 0)))
-    b = block
-    hh = v.shape[0] - b + 1
-    ww = v.shape[1] - b + 1
-    return (
-        c[b : b + hh, b : b + ww]
-        - c[:hh, b : b + ww]
-        - c[b : b + hh, :ww]
-        + c[:hh, :ww]
+def _box_sum_batch(v: jnp.ndarray, block: int) -> jnp.ndarray:
+    """(..., H, W) -> (..., H-b+1, W-b+1) separable sliding-window sums via
+    reduce_window (fast TPU window reductions)."""
+    nd = v.ndim
+    win1 = (1,) * (nd - 2) + (block, 1)
+    win2 = (1,) * (nd - 2) + (1, block)
+    ones = (1,) * nd
+    s = jax.lax.reduce_window(v, 0.0, jax.lax.add, win1, ones, "VALID")
+    return jax.lax.reduce_window(s, 0.0, jax.lax.add, win2, ones, "VALID")
+
+
+def _match_distances(imgs, rows, cols, offsets, block, chunk: int = 72):
+    """Patch SSD between each reference block and each offset candidate.
+
+    ``imgs``: (B, H, W). ``offsets`` must be a *static* numpy (S, 2) array:
+    every shift becomes a static slice of the zero-padded image, and
+    out-of-bounds validity is a baked-in constant mask. Shifts are processed
+    in chunks to bound the (B, chunk, H, W) intermediate. Returns
+    (B, S, nR, nC) with +inf at invalid candidates.
+    """
+    b, h, w = imgs.shape
+    last_r, last_c = h - block, w - block
+    rows_np = np.asarray(rows)
+    cols_np = np.asarray(cols)
+    r = int(np.abs(offsets).max())
+    padded = jnp.pad(imgs, ((0, 0), (r, r), (r, r)))
+    parts = []
+    for start in range(0, len(offsets), chunk):
+        offs = offsets[start : start + chunk]
+        shifted = jnp.stack(
+            [padded[:, r + dy : r + dy + h, r + dx : r + dx + w] for dy, dx in offs],
+            axis=1,
+        )  # (B, c, H, W)
+        sq = (imgs[:, None] - shifted) ** 2
+        box = _box_sum_batch(sq, block)  # (B, c, last_r+1, last_c+1)
+        d = box[:, :, rows_np][:, :, :, cols_np]  # (B, c, nR, nC)
+        valid = (
+            (rows_np[None, :, None] + offs[:, 0][:, None, None] >= 0)
+            & (rows_np[None, :, None] + offs[:, 0][:, None, None] <= last_r)
+            & (cols_np[None, None, :] + offs[:, 1][:, None, None] >= 0)
+            & (cols_np[None, None, :] + offs[:, 1][:, None, None] <= last_c)
+        )  # (c, nR, nC) static
+        parts.append(jnp.where(jnp.asarray(valid)[None], d, jnp.inf))
+    return jnp.concatenate(parts, axis=1)  # (B, S, nR, nC)
+
+
+def _patch_tensor(imgs, block):
+    """(B, H-b+1, W-b+1, b*b) tensor of all patches, built from b*b static
+    slices (a strided view XLA folds into cheap reshapes)."""
+    b, h, w = imgs.shape
+    hh, ww = h - block + 1, w - block + 1
+    return jnp.stack(
+        [
+            imgs[:, ky : ky + hh, kx : kx + ww]
+            for ky in range(block)
+            for kx in range(block)
+        ],
+        axis=-1,
     )
 
 
-def _match_distances(img, rows, cols, offsets, block):
-    """Patch SSD between each reference block and each offset candidate.
+def _gather_groups(imgs, rows, cols, offsets, top_idx, block):
+    """Gather (B, nR, nC, K, b, b) patch groups given top-K offset indices.
 
-    Returns (S, nR, nC) distances with +inf where the candidate block falls
-    outside the image.
+    One flat gather with *global* indices (batch folded in) from the
+    (B*hh*ww, b*b) patch table — avoids batched-gather lowerings entirely.
     """
-    h, w = img.shape
-    last_r, last_c = h - block, w - block
-    rr = rows[:, None]  # (nR, 1)
-    cc = cols[None, :]  # (1, nC)
-
-    def one_offset(_, off):
-        dy, dx = off[0], off[1]
-        shifted = jnp.roll(img, (-dy, -dx), axis=(0, 1))
-        sq = (img - shifted) ** 2
-        box = _box_sum(sq, block)  # (last_r+1, last_c+1)
-        d = box[rows][:, cols]  # (nR, nC) strided gather
-        valid = (
-            (rr + dy >= 0) & (rr + dy <= last_r) & (cc + dx >= 0) & (cc + dx <= last_c)
-        )
-        return None, jnp.where(valid, d, jnp.inf)
-
-    _, dists = jax.lax.scan(one_offset, None, offsets)
-    return dists  # (S, nR, nC)
-
-
-def _gather_groups(img, rows, cols, offsets, top_idx, block):
-    """Gather (nR, nC, K, b, b) patch groups given top-K offset indices."""
-    off = offsets[top_idx]  # (nR, nC, K, 2)
-    py = rows[:, None, None] + off[..., 0]  # (nR, nC, K)
-    px = cols[None, :, None] + off[..., 1]
-    py = jnp.clip(py, 0, img.shape[0] - block)
-    px = jnp.clip(px, 0, img.shape[1] - block)
-    ky = jnp.arange(block)
-    kx = jnp.arange(block)
-    yy = py[..., None, None] + ky[None, None, None, :, None]
-    xx = px[..., None, None] + kx[None, None, None, None, :]
-    return img[yy, xx], py, px
+    b = imgs.shape[0]
+    off = jnp.asarray(offsets)[top_idx]  # (B, nR, nC, K, 2)
+    py = jnp.clip(
+        jnp.asarray(rows)[None, :, None, None] + off[..., 0], 0, imgs.shape[1] - block
+    )
+    px = jnp.clip(
+        jnp.asarray(cols)[None, None, :, None] + off[..., 1], 0, imgs.shape[2] - block
+    )
+    patches = _patch_tensor(imgs, block)  # (B, hh, ww, b*b)
+    hh, ww = patches.shape[1], patches.shape[2]
+    flat = patches.reshape(b * hh * ww, block * block)
+    batch_off = (jnp.arange(b) * (hh * ww)).reshape(b, 1, 1, 1)
+    idx = batch_off + py * ww + px  # (B, nR, nC, K) global indices
+    groups = jnp.take(flat, idx, axis=0)  # (B, nR, nC, K, b*b)
+    return groups.reshape(idx.shape + (block, block)), py, px
 
 
 def _transform_3d(groups, d2, hk):
@@ -131,60 +165,60 @@ def _itransform_3d(coeffs, d2, hk):
 
 
 def _aggregate(est_groups, weights, py, px, block, h, w, kaiser):
-    """Scatter-add weighted patch estimates into the output accumulators."""
-    # est_groups: (nR, nC, K, b, b); weights: (nR, nC); py/px: (nR, nC, K)
-    wk = weights[..., None, None, None] * kaiser[None, None, None]
+    """Flat scatter-add of weighted patch estimates into (B, H, W) buffers."""
+    # est_groups: (B, nR, nC, K, b, b); weights: (B, nR, nC); py/px: (B, nR, nC, K)
+    b = est_groups.shape[0]
+    wk = weights[..., None, None, None] * kaiser[None, None, None, None]
     num_vals = est_groups * wk
     den_vals = jnp.broadcast_to(wk, est_groups.shape)
     ky = jnp.arange(block)
     kx = jnp.arange(block)
-    yy = py[..., None, None] + ky[None, None, None, :, None]
-    xx = px[..., None, None] + kx[None, None, None, None, :]
-    flat_idx = (yy * w + xx).ravel()
-    num = jnp.zeros((h * w,), est_groups.dtype).at[flat_idx].add(num_vals.ravel())
-    den = jnp.zeros((h * w,), est_groups.dtype).at[flat_idx].add(den_vals.ravel())
-    return num.reshape(h, w), den.reshape(h, w)
+    yy = py[..., None, None] + ky[None, None, None, None, :, None]
+    xx = px[..., None, None] + kx[None, None, None, None, None, :]
+    batch_off = (jnp.arange(b) * (h * w)).reshape(b, 1, 1, 1, 1, 1)
+    flat_idx = (batch_off + yy * w + xx).ravel()
+    num = jnp.zeros((b * h * w,), est_groups.dtype).at[flat_idx].add(num_vals.ravel())
+    den = jnp.zeros((b * h * w,), est_groups.dtype).at[flat_idx].add(den_vals.ravel())
+    return num.reshape(b, h, w), den.reshape(b, h, w)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "stages"))
-def bm3d_denoise(
-    image: jnp.ndarray,
+def bm3d_denoise_batch(
+    images: jnp.ndarray,
     sigma: jnp.ndarray,
     params: BM3DParams = BM3DParams(),
     stages: int = 2,
 ) -> jnp.ndarray:
-    """Two-stage BM3D denoising of a 2-D image with noise sd ``sigma``.
-
-    ``stages=1`` runs hard-thresholding only; ``stages=2`` adds the Wiener
-    refinement (default, like the reference's bm3d package).
-    """
+    """Two-stage BM3D over a (B, H, W) image batch with per-image ``sigma``
+    ((B,) or scalar). ``stages=1`` runs hard-thresholding only."""
     p = params
-    x = image.astype(jnp.float32)
-    h, w = x.shape
-    sigma = jnp.asarray(sigma, jnp.float32)
+    x = images.astype(jnp.float32)
+    b, h, w = x.shape
+    sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
+    sig_g = sigma[:, None, None]  # per-group-weight broadcast (B, nR, nC)
+    sig_c = sigma[:, None, None, None, None, None]  # per-coefficient
 
-    rows = jnp.asarray(_ref_grid(h, p.block, p.step))
-    cols = jnp.asarray(_ref_grid(w, p.block, p.step))
+    # rows/cols/offsets stay numpy: static constants baked into the program.
+    rows = _ref_grid(h, p.block, p.step)
+    cols = _ref_grid(w, p.block, p.step)
     r = p.search
     offsets = np.asarray(
         [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)], np.int32
     )
-    offsets = jnp.asarray(offsets)
     d2 = jnp.asarray(dct_matrix(p.block))
     kaiser = jnp.asarray(kaiser2d(p.block, p.kaiser_beta))
 
     # ---- Stage 1: hard thresholding --------------------------------------
     hk1 = jnp.asarray(hadamard_matrix(p.group_ht))
     dists = _match_distances(x, rows, cols, offsets, p.block)
-    _, top_idx = jax.lax.top_k(-jnp.moveaxis(dists, 0, -1), p.group_ht)
+    _, top_idx = jax.lax.top_k(-jnp.moveaxis(dists, 1, -1), p.group_ht)
     groups, py, px = _gather_groups(x, rows, cols, offsets, top_idx, p.block)
     coeffs = _transform_3d(groups, d2, hk1)
-    thr = p.lam * sigma
-    keep = jnp.abs(coeffs) > thr
+    keep = jnp.abs(coeffs) > p.lam * sig_c
     coeffs_ht = jnp.where(keep, coeffs, 0.0)
     n_kept = jnp.maximum(jnp.sum(keep, axis=(-3, -2, -1)), 1).astype(jnp.float32)
     est = _itransform_3d(coeffs_ht, d2, hk1)
-    wgt = 1.0 / (sigma * sigma * n_kept + 1e-12)
+    wgt = 1.0 / (sig_g * sig_g * n_kept + 1e-12)
     num, den = _aggregate(est, wgt, py, px, p.block, h, w, kaiser)
     basic = num / jnp.maximum(den, 1e-12)
 
@@ -194,16 +228,27 @@ def bm3d_denoise(
     # ---- Stage 2: Wiener filtering with the basic estimate as pilot ------
     hk2 = jnp.asarray(hadamard_matrix(p.group_wie))
     dists2 = _match_distances(basic, rows, cols, offsets, p.block)
-    _, top_idx2 = jax.lax.top_k(-jnp.moveaxis(dists2, 0, -1), p.group_wie)
+    _, top_idx2 = jax.lax.top_k(-jnp.moveaxis(dists2, 1, -1), p.group_wie)
     g_basic, py2, px2 = _gather_groups(basic, rows, cols, offsets, top_idx2, p.block)
     g_noisy, _, _ = _gather_groups(x, rows, cols, offsets, top_idx2, p.block)
     c_basic = _transform_3d(g_basic, d2, hk2)
     c_noisy = _transform_3d(g_noisy, d2, hk2)
-    wien = c_basic**2 / (c_basic**2 + sigma * sigma + 1e-12)
+    wien = c_basic**2 / (c_basic**2 + sig_c * sig_c + 1e-12)
     est2 = _itransform_3d(wien * c_noisy, d2, hk2)
-    wgt2 = 1.0 / (sigma * sigma * jnp.sum(wien**2, axis=(-3, -2, -1)) + 1e-12)
+    wgt2 = 1.0 / (sig_g * sig_g * jnp.sum(wien**2, axis=(-3, -2, -1)) + 1e-12)
     num2, den2 = _aggregate(est2, wgt2, py2, px2, p.block, h, w, kaiser)
     return num2 / jnp.maximum(den2, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "stages"))
+def bm3d_denoise(
+    image: jnp.ndarray,
+    sigma: jnp.ndarray,
+    params: BM3DParams = BM3DParams(),
+    stages: int = 2,
+) -> jnp.ndarray:
+    """Two-stage BM3D of a single (H, W) image (batch-of-one fast path)."""
+    return bm3d_denoise_batch(image[None], sigma, params=params, stages=stages)[0]
 
 
 @functools.partial(
@@ -215,7 +260,12 @@ def bm3d_denoise(
 class BM3DDenoiser:
     """PnP denoiser wrapper with the reference sigma-selection contract
     (reference ``denoisers/BM3D.py:20-25``): ``sigma_modifier * sigma_est``
-    when an estimate is supplied, else ``denoise_strength * decay**t``."""
+    when an estimate is supplied, else ``denoise_strength * decay**t``.
+
+    ``denoise`` accepts (H, W) or (B, H, W) input; batched input routes to
+    the natively-batched kernel (prefer passing the batch in over vmapping
+    this denoiser — see module docstring).
+    """
 
     denoise_strength: jnp.ndarray = 0.0
     sigma_modifier: jnp.ndarray = 1.0
@@ -232,4 +282,6 @@ class BM3DDenoiser:
             sigma_est * self.sigma_modifier,
             self.denoise_strength * self.decay**t,
         )
+        if x.ndim == 3:
+            return bm3d_denoise_batch(x, sigma, params=self.params, stages=self.stages)
         return bm3d_denoise(x, sigma, params=self.params, stages=self.stages)

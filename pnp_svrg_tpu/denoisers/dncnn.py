@@ -73,17 +73,19 @@ class DnCNNDenoiser:
         self, x: jnp.ndarray, sigma_est: jnp.ndarray = 0.0, t: jnp.ndarray = 0
     ) -> jnp.ndarray:
         del sigma_est, t  # CNN denoisers use their training sigma (reference)
-        lo = jnp.min(x)
-        hi = jnp.max(x)
-        xt = (x - lo) / (hi - lo)
+        squeeze = x.ndim == 2
+        xb = x[None] if squeeze else x  # (B, H, W)
+        lo = jnp.min(xb, axis=(-2, -1), keepdims=True)
+        hi = jnp.max(xb, axis=(-2, -1), keepdims=True)
+        xt = (xb - lo) / (hi - lo)
         scale_range = 1.0 + self.sigma_train / 255.0 / 2.0
         scale_shift = (1.0 - scale_range) / 2.0
         xt = xt * scale_range + scale_shift
-        inp = xt[None, :, :, None]  # NHWC
-        r = self._model().apply(self.variables, inp)[0, :, :, 0]
+        r = self._model().apply(self.variables, xt[..., None])[..., 0]
         out = xt - r
         out = (out - scale_shift) / scale_range
-        return out * (hi - lo) + lo
+        out = out * (hi - lo) + lo
+        return out[0] if squeeze else out
 
 
 @functools.partial(
@@ -108,12 +110,13 @@ class MMODenoiser:
         self, x: jnp.ndarray, sigma_est: jnp.ndarray = 0.0, t: jnp.ndarray = 0
     ) -> jnp.ndarray:
         del sigma_est, t
-        squeeze = x.ndim == 2
-        if squeeze:
-            inp = x[None, :, :, None]
+        # Accepts (H, W) single, (B, H, W) grayscale batch, or (H, W, C).
+        if x.ndim == 2:
+            inp, restore = x[None, :, :, None], lambda o: o[0, :, :, 0]
+        elif x.ndim == 3 and self.channels == 1:
+            inp, restore = x[..., None], lambda o: o[..., 0]
         else:  # (H, W, C)
-            inp = x[None, ...]
+            inp, restore = x[None], lambda o: o[0]
         inp = jnp.clip(inp, 0.0, 1.0)
         out = MMOSimpleCNN(channels=self.channels).apply(self.variables, inp)
-        out = jnp.clip(out, 0.0, 1.0)
-        return out[0, :, :, 0] if squeeze else out[0]
+        return restore(jnp.clip(out, 0.0, 1.0))

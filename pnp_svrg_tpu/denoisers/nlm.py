@@ -49,43 +49,47 @@ def nlm_denoise(
     offset ``2 sigma^2`` (skimage semantics).
     """
     x = image.astype(jnp.float32)
-    hh, ww = x.shape
+    hh, ww = x.shape[-2:]
+    nd = x.ndim  # supports (H, W) and batched (..., H, W); h/sigma broadcast
     pr = patch_size // 2  # pad radius for patch sums
     d = patch_distance
     # skimage pads by the patch "offset" with reflect mode.
-    xp = jnp.pad(x, pr, mode="reflect")
+    pad_cfg = [(0, 0)] * (nd - 2) + [(pr, pr), (pr, pr)]
+    xp = jnp.pad(x, pad_cfg, mode="reflect")
 
-    inv_h2 = 1.0 / (h * h * patch_size * patch_size)
+    h = jnp.asarray(h, jnp.float32)
+    sigma = jnp.asarray(sigma, jnp.float32)
+    expand = (...,) + (None, None)
+    inv_h2 = (1.0 / (h * h * patch_size * patch_size))[expand] if h.ndim else 1.0 / (
+        h * h * patch_size * patch_size
+    )
     # skimage's slow path normalizes patch distance by the patch area; fold
     # that into inv_h2: w = exp(-max(sum_sq/area - 2 s^2, 0)/h^2)
     #                     = exp(-max(sum_sq - 2 s^2 * area, 0)/(h^2 * area)).
-    offset = 2.0 * sigma * sigma * (patch_size * patch_size)
+    off_val = 2.0 * sigma * sigma * (patch_size * patch_size)
+    offset = off_val[expand] if sigma.ndim else off_val
 
     shifts = [(dy, dx) for dy in range(-d, d + 1) for dx in range(-d, d + 1)]
 
     def box_filter(v: jnp.ndarray) -> jnp.ndarray:
-        """Sum over the patch window via separable cumulative sums."""
-        # v has shape (hh + 2*pr, ww + 2*pr); output (hh, ww): for output
-        # pixel (i, j), sum over v[i : i+patch, j : j+patch].
-        c = jnp.cumsum(jnp.cumsum(v, axis=0), axis=1)
-        c = jnp.pad(c, ((1, 0), (1, 0)))
+        """Sum over the patch window via separable reduce_window sums (fast
+        TPU window reductions; output pixel (i, j) sums v[i:i+p, j:j+p])."""
         p = patch_size
-        out = (
-            c[p : p + hh, p : p + ww]
-            - c[:hh, p : p + ww]
-            - c[p : p + hh, :ww]
-            + c[:hh, :ww]
-        )
-        return out
+        win1 = (1,) * (nd - 2) + (p, 1)
+        win2 = (1,) * (nd - 2) + (1, p)
+        ones = (1,) * nd
+        s = jax.lax.reduce_window(v, 0.0, jax.lax.add, win1, ones, "VALID")
+        s = jax.lax.reduce_window(s, 0.0, jax.lax.add, win2, ones, "VALID")
+        return s[..., :hh, :ww]
 
     wsum = jnp.zeros_like(x)
     acc = jnp.zeros_like(x)
     for dy, dx in shifts:
-        shifted_p = jnp.roll(xp, (-dy, -dx), axis=(0, 1))
+        shifted_p = jnp.roll(xp, (-dy, -dx), axis=(-2, -1))
         sq = (xp - shifted_p) ** 2
         dist = box_filter(sq)  # patch-summed squared distance per pixel
         wgt = jnp.exp(-jnp.maximum(dist - offset, 0.0) * inv_h2)
-        shifted_center = jnp.roll(x, (-dy, -dx), axis=(0, 1))
+        shifted_center = jnp.roll(x, (-dy, -dx), axis=(-2, -1))
         # Invalidate out-of-bounds shifts (skimage only visits in-range q).
         row = jnp.arange(hh)[:, None]
         col = jnp.arange(ww)[None, :]

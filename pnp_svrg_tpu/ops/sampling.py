@@ -7,6 +7,10 @@ we need static shapes and a threaded PRNG, so sampling-without-replacement is
 done with the Gumbel top-k trick: draw one uniform key per candidate, restrict
 to allowed positions, take the top ``k``. This is exact uniform sampling
 without replacement and compiles to a single fused kernel.
+
+Mask construction is scatter-free: the k selected positions are recovered by
+comparing every score against the k-th largest (TPU scatters serialize,
+especially with leading batch axes; a top_k + elementwise compare does not).
 """
 
 from __future__ import annotations
@@ -38,10 +42,18 @@ def sample_k_indices(
 def sample_k_mask(
     key: jax.Array, shape: tuple, k: int, allowed: jnp.ndarray | None = None
 ) -> jnp.ndarray:
-    """Sample a 0/1 float mask of ``shape`` with exactly ``k`` ones."""
+    """Sample a 0/1 float mask of ``shape`` with exactly ``k`` ones.
+
+    Scatter-free: mask = (score >= k-th largest score). Uniform scores are
+    almost-surely distinct, so exactly k positions pass.
+    """
     n = 1
     for s in shape:
         n *= s
-    idx = sample_k_indices(key, n, k, allowed)
-    flat = jnp.zeros((n,), jnp.float32).at[idx].set(1.0)
-    return flat.reshape(shape)
+    g = jax.random.uniform(key, (n,))
+    if allowed is not None:
+        g = jnp.where(allowed.ravel() > 0, g, -1.0)
+    vals, _ = jax.lax.top_k(g, k)
+    thr = vals[-1]
+    mask = (g >= thr) & (g >= 0)
+    return mask.astype(jnp.float32).reshape(shape)

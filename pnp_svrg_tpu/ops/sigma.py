@@ -38,7 +38,18 @@ def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def estimate_sigma(image: jnp.ndarray) -> jnp.ndarray:
-    """Estimate AWGN sigma of a 2-D image from level-1 db2 HH coefficients."""
+    """Estimate AWGN sigma from level-1 db2 HH coefficients.
+
+    Accepts (H, W) -> scalar, or any leading batch axes (..., H, W) ->
+    (...)-shaped estimates (one median per image).
+    """
     _, (_, _, hh) = dwt2(image, "db2")
     absd = jnp.abs(hh)
-    return _masked_median(absd, absd > 0) / jnp.asarray(_MAD_DENOM, image.dtype)
+    if image.ndim == 2:
+        return _masked_median(absd, absd > 0) / jnp.asarray(
+            _MAD_DENOM, image.dtype
+        )
+    lead = absd.shape[:-2]
+    flat = absd.reshape((-1,) + absd.shape[-2:])
+    med = jax.vmap(lambda a: _masked_median(a, a > 0))(flat)
+    return med.reshape(lead) / jnp.asarray(_MAD_DENOM, image.dtype)

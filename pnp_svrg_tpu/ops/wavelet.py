@@ -220,8 +220,10 @@ def _bayes_threshold(detail: jnp.ndarray, var: jnp.ndarray) -> jnp.ndarray:
 
     Matches skimage ``_bayes_thresh`` (the formula the reference invokes via
     ``denoise_wavelet(method='BayesShrink')``, reference ``denoisers/TV.py:24``).
+    The band mean is taken over the last two axes only, so batched inputs get
+    one threshold per image per band.
     """
-    dvar = jnp.mean(detail * detail)
+    dvar = jnp.mean(detail * detail, axis=(-2, -1), keepdims=True)
     eps = jnp.finfo(detail.dtype).eps
     return var / jnp.sqrt(jnp.maximum(dvar - var, eps))
 
@@ -243,7 +245,8 @@ def denoise_wavelet_bayes(
     if levels is None:
         levels = max(dwt_max_level(min(x.shape[-2:]), wavelet) - 3, 1)
     sigma = jnp.asarray(sigma, dtype=x.dtype)
-    var = sigma * sigma
+    # Batched input: sigma may be (...,) matching x's leading axes.
+    var = (sigma * sigma).reshape(sigma.shape + (1, 1)) if sigma.ndim else sigma * sigma
     coeffs = wavedec2(x, wavelet, levels)
     out = [coeffs[0]]
     for det in coeffs[1:]:

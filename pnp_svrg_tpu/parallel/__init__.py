@@ -12,8 +12,8 @@ Here parallelism is a first-class ``jax.sharding.Mesh`` with two axes:
 """
 
 from pnp_svrg_tpu.parallel.mesh import make_mesh, BATCH_AXIS, MEAS_AXIS
+from pnp_svrg_tpu.core.batched import BatchedProblem, stack_problems
 from pnp_svrg_tpu.parallel.runner import (
-    stack_problems,
     run_batch,
     reconstruct_set12,
 )
@@ -27,6 +27,7 @@ __all__ = [
     "make_mesh",
     "BATCH_AXIS",
     "MEAS_AXIS",
+    "BatchedProblem",
     "stack_problems",
     "run_batch",
     "reconstruct_set12",

@@ -17,46 +17,40 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pnp_svrg_tpu.algorithms.loops import _ALGOS
+from pnp_svrg_tpu.core.batched import BatchedProblem, stack_problems
 from pnp_svrg_tpu.parallel.mesh import BATCH_AXIS
-
-
-def stack_problems(problems: Sequence):
-    """Stack same-shape problem pytrees along a new leading batch axis."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *problems)
 
 
 def run_batch(
     algo: str,
-    stacked_problems,
+    batched_problem,
     denoiser,
-    keys: jax.Array | None = None,
+    key: jax.Array | None = None,
     mesh=None,
     **hp,
 ):
-    """Run one PnP algorithm over a stacked problem batch via vmap.
+    """Run one PnP algorithm over a problem batch in a single compiled loop.
 
-    ``keys``: (B, 2) PRNG keys (one per image, required for stochastic
-    algorithms). With ``mesh``, inputs are placed so the batch axis shards
-    over the mesh ``batch`` axis (and the run is jitted with those shardings).
+    ``batched_problem``: a :class:`BatchedProblem` (or a list of problems,
+    stacked here). The batch-polymorphic loops carry (B, N) state and call
+    the denoiser once per step with the (B, H, W) stack — BM3D/NLM/CNN
+    denoisers hit their natively-batched kernels. With ``mesh``, the batch
+    axis is sharded over the mesh ``batch`` axis.
     """
+    if isinstance(batched_problem, (list, tuple)):
+        batched_problem = stack_problems(batched_problem)
     fn = _ALGOS[algo]
-    b = jax.tree_util.tree_leaves(stacked_problems)[0].shape[0]
-    if keys is None:
-        keys = jax.random.split(jax.random.PRNGKey(0), b)
+    if key is None:
+        key = jax.random.PRNGKey(0)
 
     if mesh is not None:
         shard = NamedSharding(mesh, P(BATCH_AXIS))
-        stacked_problems = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, shard), stacked_problems
+        batched_problem = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, shard), batched_problem
         )
-        keys = jax.device_put(keys, shard)
 
-    def single(problem, key):
-        out = fn(problem, denoiser, key=key, **hp)
-        # Drop the host-side algo_name tag: strings cannot cross vmap.
-        return {k: v for k, v in out.items() if k != "algo_name"}
-
-    return jax.vmap(single)(stacked_problems, keys)
+    out = fn(batched_problem, denoiser, key=key, **hp)
+    return {k: v for k, v in out.items() if k != "algo_name"}
 
 
 def reconstruct_set12(
@@ -82,6 +76,7 @@ def reconstruct_set12(
         make_problem(k, jnp.asarray(load_image(p, h, w)))
         for k, p in zip(keys, paths)
     ]
-    stacked = stack_problems(problems)
-    run_keys = jax.random.split(jax.random.PRNGKey(seed + 1), len(paths))
-    return run_batch(algo, stacked, denoiser, keys=run_keys, mesh=mesh, **hp)
+    batched = stack_problems(problems)
+    return run_batch(
+        algo, batched, denoiser, key=jax.random.PRNGKey(seed + 1), mesh=mesh, **hp
+    )

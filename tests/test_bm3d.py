@@ -10,7 +10,8 @@ from pnp_svrg_tpu.denoisers.bm3d import (
     BM3DDenoiser,
     BM3DParams,
     bm3d_denoise,
-    _box_sum,
+    bm3d_denoise_batch,
+    _box_sum_batch,
     _match_distances,
     _ref_grid,
 )
@@ -41,7 +42,7 @@ class TestTransforms:
 class TestMatching:
     def test_box_sum_matches_naive(self, rng):
         v = jnp.asarray(rng.standard_normal((12, 10)), jnp.float32)
-        out = _box_sum(v, 4)
+        out = _box_sum_batch(v[None], 4)[0]
         naive = np.zeros((9, 7), np.float32)
         vn = np.asarray(v)
         for i in range(9):
@@ -60,23 +61,21 @@ class TestMatching:
         # offset must be ~0.
         img = np.asarray(rng.uniform(0, 1, (32, 32)), np.float32)
         img[16:24, 16:24] = img[0:8, 0:8]  # duplicate patch at offset (16,16)
-        rows = jnp.asarray(np.array([0], np.int32))
-        cols = jnp.asarray(np.array([0], np.int32))
-        offsets = jnp.asarray(
-            np.array([[0, 0], [16, 16], [4, 4]], np.int32)
-        )
-        d = _match_distances(jnp.asarray(img), rows, cols, offsets, 8)
-        d = np.asarray(d)[:, 0, 0]
+        rows = np.array([0], np.int32)
+        cols = np.array([0], np.int32)
+        offsets = np.array([[0, 0], [16, 16], [4, 4]], np.int32)
+        d = _match_distances(jnp.asarray(img)[None], rows, cols, offsets, 8)
+        d = np.asarray(d)[0, :, 0, 0]
         assert d[0] < 1e-5  # self
         assert d[1] < 1e-5  # duplicate
         assert d[2] > 1e-3  # generic offset
 
     def test_out_of_bounds_offsets_are_inf(self, rng):
         img = jnp.asarray(rng.uniform(0, 1, (16, 16)), jnp.float32)
-        rows = jnp.asarray(np.array([0], np.int32))
-        cols = jnp.asarray(np.array([0], np.int32))
-        offsets = jnp.asarray(np.array([[-1, 0], [0, -1], [9, 0]], np.int32))
-        d = np.asarray(_match_distances(img, rows, cols, offsets, 8))[:, 0, 0]
+        rows = np.array([0], np.int32)
+        cols = np.array([0], np.int32)
+        offsets = np.array([[-1, 0], [0, -1], [9, 0]], np.int32)
+        d = np.asarray(_match_distances(img[None], rows, cols, offsets, 8))[0, :, 0, 0]
         assert np.isinf(d[0]) and np.isinf(d[1]) and np.isinf(d[2])
 
 
@@ -130,7 +129,7 @@ class TestDenoise:
             jnp.mean((noisy - clean) ** 2)
         )
 
-    def test_jit_cache_and_vmap(self, rng):
+    def test_native_batch_matches_single(self, rng):
         clean = _clean(32)
         noisy = jnp.stack(
             [
@@ -138,8 +137,17 @@ class TestDenoise:
                 for _ in range(2)
             ]
         )
-        f = jax.vmap(lambda im: bm3d_denoise(im, 0.1, params=SMALL))
-        out = f(noisy)
+        out = bm3d_denoise_batch(noisy, 0.1, params=SMALL)
         assert out.shape == (2, 32, 32)
         single = bm3d_denoise(noisy[0], 0.1, params=SMALL)
         np.testing.assert_allclose(out[0], single, atol=1e-5)
+
+    def test_per_image_sigma(self, rng):
+        clean = _clean(32)
+        noisy = jnp.stack([clean + 0.1 * jnp.asarray(
+            rng.standard_normal((32, 32)), jnp.float32) for _ in range(2)])
+        out = bm3d_denoise_batch(noisy, jnp.asarray([0.1, 0.0001]), params=SMALL)
+        # Tiny sigma on image 1 -> near-identity; real sigma on image 0 smooths.
+        d0 = float(jnp.mean((out[0] - noisy[0]) ** 2))
+        d1 = float(jnp.mean((out[1] - noisy[1]) ** 2))
+        assert d1 < d0

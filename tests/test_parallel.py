@@ -73,21 +73,49 @@ class TestShardedPR:
 @needs_8
 class TestBatchedRunner:
     def test_run_batch_matches_individual(self, key):
+        # GD is deterministic, so the batched run must match per-image runs.
         probs = [
             make_csmri(jax.random.PRNGKey(i), _img(16), sample_prob=0.5, snr=10)
             for i in range(4)
         ]
-        stacked = stack_problems(probs)
         den = TVDenoiser(sigma_modifier=0.7)
-        keys = jax.random.split(jax.random.PRNGKey(7), 4)
-        out = run_batch("gd", stacked, den, keys=keys, eta=100.0, n_iters=4)
+        out = run_batch("gd", probs, den, eta=100.0, n_iters=4)
         assert out["final_psnr"].shape == (4,)
+        assert out["psnr_per_iter"].shape == (5, 4)
         from pnp_svrg_tpu.algorithms import pnp_gd
 
-        solo = pnp_gd(probs[2], den, eta=100.0, n_iters=4, key=keys[2])
+        solo = pnp_gd(probs[2], den, eta=100.0, n_iters=4)
         np.testing.assert_allclose(
             float(out["final_psnr"][2]), float(solo["final_psnr"]), atol=1e-3
         )
+
+    def test_batched_stochastic_algorithms_run(self, key):
+        probs = [
+            make_csmri(jax.random.PRNGKey(i), _img(16), sample_prob=0.5, snr=10)
+            for i in range(3)
+        ]
+        den = TVDenoiser(sigma_modifier=0.7)
+        for algo, hp in [
+            ("sgd", dict(n_iters=3, mini_batch_size=20)),
+            ("svrg", dict(n_outer=2, t2=2, mini_batch_size=20)),
+            ("saga", dict(n_iters=3, mini_batch_size=20, hist_size=4)),
+            ("sarah", dict(n_outer=2, t2=2, mini_batch_size=20)),
+        ]:
+            out = run_batch(algo, probs, den, eta=50.0, **hp)
+            assert out["final_psnr"].shape == (3,), algo
+            assert np.isfinite(np.asarray(out["final_psnr"])).all(), algo
+
+    def test_batched_bm3d_denoiser(self, key):
+        from pnp_svrg_tpu.denoisers import BM3DDenoiser
+        from pnp_svrg_tpu.denoisers.bm3d import BM3DParams
+
+        probs = [
+            make_csmri(jax.random.PRNGKey(i), _img(32), sample_prob=0.5, snr=10)
+            for i in range(2)
+        ]
+        den = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=4))
+        out = run_batch("gd", probs, den, eta=200.0, n_iters=3)
+        assert np.isfinite(np.asarray(out["final_psnr"])).all()
 
     def test_run_batch_on_mesh(self, key):
         mesh = make_mesh((8, 1))
@@ -95,8 +123,7 @@ class TestBatchedRunner:
             make_csmri(jax.random.PRNGKey(i), _img(16), sample_prob=0.5, snr=10)
             for i in range(8)
         ]
-        stacked = stack_problems(probs)
         den = TVDenoiser(sigma_modifier=0.7)
-        out = run_batch("gd", stacked, den, mesh=mesh, eta=100.0, n_iters=3)
+        out = run_batch("gd", probs, den, mesh=mesh, eta=100.0, n_iters=3)
         assert out["final_psnr"].shape == (8,)
         assert np.isfinite(np.asarray(out["final_psnr"])).all()
