@@ -99,16 +99,25 @@ def build_patch_dataset(
         paths = paths[:max_images]
     if not paths:
         raise FileNotFoundError(f"no images found under {image_dir}")
+    from pnp_svrg_tpu import native
+
+    use_native = native.available()
     chunks = []
     for p in paths:
         for s in scales:
             img = load_gray(p, s)
             if min(img.shape) < patch:
                 continue
-            ps = im2patch(img, patch, stride)
+            if use_native:
+                ps = native.extract_patches(img, patch, stride)
+            else:
+                ps = im2patch(img, patch, stride)
             if augment_modes:
-                modes = rng.integers(0, 8, size=len(ps))
-                ps = np.stack([augment(q, int(m)) for q, m in zip(ps, modes)])
+                modes = rng.integers(0, 8, size=len(ps)).astype(np.uint8)
+                if use_native:
+                    ps = native.augment_patches(ps, modes)
+                else:
+                    ps = np.stack([augment(q, int(m)) for q, m in zip(ps, modes)])
             chunks.append(ps)
     return np.ascontiguousarray(np.concatenate(chunks, axis=0))
 

@@ -133,3 +133,56 @@ class TestTrainEndToEnd:
             u = init_u(jax.random.PRNGKey(i), layer["kernel"].shape[-1], hw=16)
             sigma, _ = conv_power_iteration(layer["kernel"], u, n_iters=30)
             assert float(sigma) < target * 1.2, (name, float(sigma))
+
+
+class TestNative:
+    """Native C++ patch pipeline vs the numpy fallback (exact for the
+    deterministic kernels, statistical for the noise generator)."""
+
+    def setup_method(self):
+        from pnp_svrg_tpu import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+
+    def test_extract_matches_numpy(self, rng):
+        from pnp_svrg_tpu import native
+
+        img = rng.uniform(0, 1, (57, 49)).astype(np.float32)
+        ours = native.extract_patches(img, 40, 10)
+        ref = im2patch(img, 40, 10)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_augment_matches_numpy(self, rng):
+        from pnp_svrg_tpu import native
+
+        ps = rng.uniform(0, 1, (16, 40, 40)).astype(np.float32)
+        modes = np.arange(16, dtype=np.uint8) % 8
+        ours = native.augment_patches(ps, modes)
+        ref = np.stack([augment(q, int(m)) for q, m in zip(ps, modes)])
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_noise_statistics(self, rng):
+        from pnp_svrg_tpu import native
+
+        ps = rng.uniform(0, 1, (64, 40, 40)).astype(np.float32)
+        idx = np.arange(64)
+        noisy, noise = native.assemble_noisy_batch(ps, idx, 0.1, 0.1, seed=7)
+        assert noisy.shape == (64, 40, 40, 1)
+        np.testing.assert_allclose(noisy[..., 0] - noise[..., 0], ps, atol=1e-6)
+        est = noise.std()
+        assert abs(est - 0.1) / 0.1 < 0.05
+        assert abs(noise.mean()) < 0.005
+        # blind mode: per-sample sigma varies
+        _, nb = native.assemble_noisy_batch(ps, idx, 0.0, 0.2, seed=7)
+        per = nb.reshape(64, -1).std(axis=1)
+        assert per.std() > 0.02
+
+    def test_deterministic_given_seed(self, rng):
+        from pnp_svrg_tpu import native
+
+        ps = rng.uniform(0, 1, (8, 40, 40)).astype(np.float32)
+        idx = np.arange(8)
+        a = native.assemble_noisy_batch(ps, idx, 0.1, 0.1, seed=3)
+        b = native.assemble_noisy_batch(ps, idx, 0.1, 0.1, seed=3)
+        np.testing.assert_array_equal(a[0], b[0])
