@@ -1,0 +1,69 @@
+"""Reproduce the paper's deblur/SR experiment configuration (reference
+``create_paper_figures_deblur.ipynb`` cells 4-7 — the reference notebook has
+no saved numeric outputs for this one): Set12/01.png at 256x256, built-in
+"Minimal" kernel, scale 100%, SNR 5 dB, BM3D + PnP-SVRG.
+
+Usage: python examples/paper_deblur.py [--cpu] [--small]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--small", action="store_true", help="128x128 quick run")
+    parser.add_argument("--save", default=None)
+    args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from pnp_svrg_tpu import pnp_svrg, pnp_gd
+    from pnp_svrg_tpu.denoisers import BM3DDenoiser
+    from pnp_svrg_tpu.denoisers.bm3d import BM3DParams
+    from pnp_svrg_tpu.problems import make_deblur
+    from pnp_svrg_tpu.utils import load_image
+    from pnp_svrg_tpu.utils.viz import write_metrics_csv
+
+    h = 128 if args.small else 256
+    img = load_image("Set12/01.png", h, h)
+    prob = make_deblur(
+        jax.random.PRNGKey(0), img, kernel="Minimal", scale_percent=100, snr=5
+    )
+    init_psnr = float(prob.psnr(prob.x_init))
+    print(f"init PSNR {init_psnr:.2f} dB (uniform-random init)")
+
+    den = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=8))
+    key = jax.random.PRNGKey(1)
+    # The kernel is scaled by 1/N (reference DeblurSR.py:93), so step sizes
+    # are huge; the notebook config uses eta=1e7 with T2=10, mb=100.
+    runs = {
+        "svrg+bm3d": lambda: pnp_svrg(
+            prob, den, eta=5e6, n_outer=16, t2=10, mini_batch_size=100,
+            key=key),
+        "gd+bm3d": lambda: pnp_gd(prob, den, eta=1e7, n_iters=160),
+    }
+    rows = []
+    for name, fn in runs.items():
+        t0 = time.time()
+        out = fn()
+        rows.append({
+            "run": name,
+            "final_psnr": round(float(out["final_psnr"]), 2),
+            "delta_psnr": round(float(out["final_psnr"]) - init_psnr, 2),
+            "seconds": round(time.time() - t0, 2),
+        })
+        print(rows[-1])
+    if args.save:
+        write_metrics_csv(rows, args.save)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Reproduce the paper's phase-retrieval experiment (reference
+``create_paper_figures_pr.ipynb`` cells 2-22, recorded outputs in
+BASELINE.md): Set12/04.png at 128x128, alpha=0.5 (8192 measurements),
+SNR 20 dB, with BM3D and MMO-DnCNN denoisers.
+
+Usage: python examples/paper_pr.py [--cpu] [--small]
+(``--small`` runs 64x64 with 2048 measurements for quick CPU smoke runs.)
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+REFERENCE_RESULTS = {  # run label -> reference final PSNR (BASELINE.md)
+    "svrg+bm3d": 26.8,
+    "sgd+bm3d": 25.1,
+    "gd+bm3d": 25.9,
+    "svrg+mmo": 19.0,
+    "sgd+mmo": 20.5,
+    "gd+mmo": 12.8,
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--small", action="store_true")
+    parser.add_argument("--save", default=None)
+    args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from pnp_svrg_tpu import pnp_gd, pnp_sgd, pnp_svrg
+    from pnp_svrg_tpu.denoisers import BM3DDenoiser, MMODenoiser
+    from pnp_svrg_tpu.denoisers.bm3d import BM3DParams
+    from pnp_svrg_tpu.problems import make_phase_retrieval
+    from pnp_svrg_tpu.utils import load_image
+    from pnp_svrg_tpu.utils.viz import write_metrics_csv
+
+    h = 64 if args.small else 128
+    m = 2048 if args.small else 8192
+    img = load_image("Set12/04.png", h, h)
+    prob = make_phase_retrieval(jax.random.PRNGKey(0), img, num_meas=m, snr=20)
+    init_psnr = float(prob.psnr(prob.x_init))
+    print(f"init PSNR {init_psnr:.2f} dB (spectral init)")
+
+    bm3d = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=8))
+    mmo = MMODenoiser.from_pretrained(channels=1, n_lev=0.009)
+    key = jax.random.PRNGKey(1)
+
+    # Iteration budgets ~ reference wall budgets at its ~2-3 it/s.
+    runs = {
+        "svrg+bm3d": lambda: pnp_svrg(
+            prob, bm3d, eta=0.2, n_outer=8, t2=8, mini_batch_size=800, key=key),
+        "sgd+bm3d": lambda: pnp_sgd(
+            prob, bm3d, eta=0.3, n_iters=72, mini_batch_size=1000, key=key),
+        "gd+bm3d": lambda: pnp_gd(prob, bm3d, eta=0.5, n_iters=60),
+        "svrg+mmo": lambda: pnp_svrg(
+            prob, mmo, eta=0.01, n_outer=12, t2=5, mini_batch_size=100, key=key),
+        "sgd+mmo": lambda: pnp_sgd(
+            prob, mmo, eta=0.2, n_iters=72, mini_batch_size=1000, key=key),
+        "gd+mmo": lambda: pnp_gd(prob, mmo, eta=0.1, n_iters=60),
+    }
+
+    rows = []
+    for name, fn in runs.items():
+        t0 = time.time()
+        out = fn()
+        final = float(out["final_psnr"])
+        rows.append({
+            "run": name,
+            "final_psnr": round(final, 2),
+            "delta_psnr": round(final - init_psnr, 2),
+            "reference_psnr": REFERENCE_RESULTS[name],
+            "margin_vs_reference": round(final - REFERENCE_RESULTS[name], 2),
+            "seconds": round(time.time() - t0, 2),
+        })
+        print(rows[-1])
+    if args.save:
+        write_metrics_csv(rows, args.save)
+    return rows
+
+
+if __name__ == "__main__":
+    main()
