@@ -150,36 +150,52 @@ def _gather_groups(imgs, rows, cols, offsets, top_idx, block):
     batch_off = (jnp.arange(b) * (hh * ww)).reshape(b, 1, 1, 1)
     idx = batch_off + py * ww + px  # (B, nR, nC, K) global indices
     groups = jnp.take(flat, idx, axis=0)  # (B, nR, nC, K, b*b)
-    return groups.reshape(idx.shape + (block, block)), py, px
+    return groups, py, px
 
 
-def _transform_3d(groups, d2, hk):
-    """Forward 3-D transform: 2-D DCT per patch + 1-D WHT along group axis."""
-    g = jnp.einsum("ab,...kbc,dc->...kad", d2, groups, d2)
-    return jnp.einsum("kl,...lab->...kab", hk, g)
+def _transform_3d(groups_flat, t3):
+    """Forward 3-D transform (2-D DCT per patch x 1-D WHT along the group
+    axis) as ONE (K*b*b, K*b*b) matmul on (..., K*b*b)-flattened groups.
+
+    ``t3 = kron(H_K, D2 (x) D2)`` — a single MXU-sized contraction (1024-wide
+    for K=16, b=8) instead of three rank-8/16 einsums that tile poorly."""
+    return groups_flat @ t3.T
 
 
-def _itransform_3d(coeffs, d2, hk):
-    g = jnp.einsum("lk,...lab->...kab", hk, coeffs)  # WHT is symmetric-orthonormal
-    return jnp.einsum("ba,...kbc,cd->...kad", d2, g, d2)
+def _itransform_3d(coeffs_flat, t3):
+    return coeffs_flat @ t3  # t3 is orthonormal: inverse = transpose
 
 
 def _aggregate(est_groups, weights, py, px, block, h, w, kaiser):
-    """Flat scatter-add of weighted patch estimates into (B, H, W) buffers."""
-    # est_groups: (B, nR, nC, K, b, b); weights: (B, nR, nC); py/px: (B, nR, nC, K)
+    """Weighted overlap-add of patch estimates into (B, H, W) buffers.
+
+    Two-level structure keeps the data-dependent scatter tiny: one scatter-add
+    of contiguous 2*b*b-wide rows (numerator ++ denominator fused) into a
+    (B*hh*ww, 2*b*b) patch-position table — 64x fewer scatter indices than a
+    per-pixel scatter, and each update is a vector row XLA handles natively —
+    followed by a *static* unfold-add (b*b shifted dense adds) back to image
+    space.
+    """
+    # est_groups: (B, nR, nC, K, b*b); weights: (B, nR, nC); py/px: (B, nR, nC, K)
     b = est_groups.shape[0]
-    wk = weights[..., None, None, None] * kaiser[None, None, None, None]
-    num_vals = est_groups * wk
-    den_vals = jnp.broadcast_to(wk, est_groups.shape)
-    ky = jnp.arange(block)
-    kx = jnp.arange(block)
-    yy = py[..., None, None] + ky[None, None, None, None, :, None]
-    xx = px[..., None, None] + kx[None, None, None, None, None, :]
-    batch_off = (jnp.arange(b) * (h * w)).reshape(b, 1, 1, 1, 1, 1)
-    flat_idx = (batch_off + yy * w + xx).ravel()
-    num = jnp.zeros((b * h * w,), est_groups.dtype).at[flat_idx].add(num_vals.ravel())
-    den = jnp.zeros((b * h * w,), est_groups.dtype).at[flat_idx].add(den_vals.ravel())
-    return num.reshape(b, h, w), den.reshape(b, h, w)
+    bb = block * block
+    hh, ww = h - block + 1, w - block + 1
+    dtype = est_groups.dtype
+    wk = weights[..., None, None] * kaiser.reshape(-1)  # (B, nR, nC, 1, b*b)
+    num_upd = (est_groups * wk).reshape(-1, bb)
+    den_upd = jnp.broadcast_to(wk, est_groups.shape).reshape(-1, bb)
+    upd = jnp.concatenate([num_upd, den_upd], axis=-1)  # (P, 2*bb)
+    batch_off = (jnp.arange(b) * (hh * ww)).reshape(b, 1, 1, 1)
+    pidx = (batch_off + py * ww + px).reshape(-1)
+    table = jnp.zeros((b * hh * ww, 2 * bb), dtype).at[pidx].add(upd)
+    table = table.reshape(b, hh, ww, 2, block, block)
+    out = jnp.zeros((b, 2, h, w), dtype)
+    for ky in range(block):
+        for kx in range(block):
+            out = out.at[:, :, ky : ky + hh, kx : kx + ww].add(
+                table[:, :, :, :, ky, kx].transpose(0, 3, 1, 2)
+            )
+    return out[:, 0], out[:, 1]
 
 
 @functools.partial(jax.jit, static_argnames=("params", "stages"))
@@ -196,7 +212,7 @@ def bm3d_denoise_batch(
     b, h, w = x.shape
     sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
     sig_g = sigma[:, None, None]  # per-group-weight broadcast (B, nR, nC)
-    sig_c = sigma[:, None, None, None, None, None]  # per-coefficient
+    sig_c = sigma[:, None, None, None]  # per-coefficient (B, nR, nC, K*bb)
 
     # rows/cols/offsets stay numpy: static constants baked into the program.
     rows = _ref_grid(h, p.block, p.step)
@@ -205,19 +221,21 @@ def bm3d_denoise_batch(
     offsets = np.asarray(
         [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)], np.int32
     )
-    d2 = jnp.asarray(dct_matrix(p.block))
+    d2_np = dct_matrix(p.block)
+    d2d_np = np.kron(d2_np, d2_np)  # 2-D DCT on row-major-flattened patches
     kaiser = jnp.asarray(kaiser2d(p.block, p.kaiser_beta))
+    bb = p.block * p.block
 
     # ---- Stage 1: hard thresholding --------------------------------------
-    hk1 = jnp.asarray(hadamard_matrix(p.group_ht))
+    t3_ht = jnp.asarray(np.kron(hadamard_matrix(p.group_ht), d2d_np))
     dists = _match_distances(x, rows, cols, offsets, p.block)
     _, top_idx = jax.lax.top_k(-jnp.moveaxis(dists, 1, -1), p.group_ht)
     groups, py, px = _gather_groups(x, rows, cols, offsets, top_idx, p.block)
-    coeffs = _transform_3d(groups, d2, hk1)
+    coeffs = _transform_3d(groups.reshape(*groups.shape[:3], -1), t3_ht)
     keep = jnp.abs(coeffs) > p.lam * sig_c
     coeffs_ht = jnp.where(keep, coeffs, 0.0)
-    n_kept = jnp.maximum(jnp.sum(keep, axis=(-3, -2, -1)), 1).astype(jnp.float32)
-    est = _itransform_3d(coeffs_ht, d2, hk1)
+    n_kept = jnp.maximum(jnp.sum(keep, axis=-1), 1).astype(jnp.float32)
+    est = _itransform_3d(coeffs_ht, t3_ht).reshape(*groups.shape[:3], -1, bb)
     wgt = 1.0 / (sig_g * sig_g * n_kept + 1e-12)
     num, den = _aggregate(est, wgt, py, px, p.block, h, w, kaiser)
     basic = num / jnp.maximum(den, 1e-12)
@@ -226,16 +244,16 @@ def bm3d_denoise_batch(
         return basic
 
     # ---- Stage 2: Wiener filtering with the basic estimate as pilot ------
-    hk2 = jnp.asarray(hadamard_matrix(p.group_wie))
+    t3_w = jnp.asarray(np.kron(hadamard_matrix(p.group_wie), d2d_np))
     dists2 = _match_distances(basic, rows, cols, offsets, p.block)
     _, top_idx2 = jax.lax.top_k(-jnp.moveaxis(dists2, 1, -1), p.group_wie)
     g_basic, py2, px2 = _gather_groups(basic, rows, cols, offsets, top_idx2, p.block)
     g_noisy, _, _ = _gather_groups(x, rows, cols, offsets, top_idx2, p.block)
-    c_basic = _transform_3d(g_basic, d2, hk2)
-    c_noisy = _transform_3d(g_noisy, d2, hk2)
+    c_basic = _transform_3d(g_basic.reshape(*g_basic.shape[:3], -1), t3_w)
+    c_noisy = _transform_3d(g_noisy.reshape(*g_noisy.shape[:3], -1), t3_w)
     wien = c_basic**2 / (c_basic**2 + sig_c * sig_c + 1e-12)
-    est2 = _itransform_3d(wien * c_noisy, d2, hk2)
-    wgt2 = 1.0 / (sig_g * sig_g * jnp.sum(wien**2, axis=(-3, -2, -1)) + 1e-12)
+    est2 = _itransform_3d(wien * c_noisy, t3_w).reshape(*g_basic.shape[:3], -1, bb)
+    wgt2 = 1.0 / (sig_g * sig_g * jnp.sum(wien**2, axis=-1) + 1e-12)
     num2, den2 = _aggregate(est2, wgt2, py2, px2, p.block, h, w, kaiser)
     return num2 / jnp.maximum(den2, 1e-12)
 
