@@ -28,6 +28,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # The env var alone is not sufficient on the axon PJRT plugin; force the
+    # persistent cache on so repeated bench runs skip the multi-minute compile.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from pnp_svrg_tpu.algorithms.loops import pnp_svrg
     from pnp_svrg_tpu.core.batched import stack_problems
     from pnp_svrg_tpu.denoisers.bm3d import BM3DDenoiser, BM3DParams
@@ -37,11 +42,18 @@ def main():
     h = w = 128
     n_outer = int(os.environ.get("BENCH_OUTER", 16))
     t2, mb = 10, 4000
-    eta = 3000.0
+    eta = 6000.0
 
     paths = set12_paths()
     paths = paths[: int(os.environ.get("BENCH_BSZ", len(paths)))]
-    keys = jax.random.split(jax.random.PRNGKey(0), len(paths))
+    # The reference's flagship quality config (BASELINE.md: 13.png, 128x128,
+    # p=0.5, SNR 10, BM3D -> 22.8 dB) rides along as an extra batch lane so
+    # quality-vs-reference is checked by the same compiled program.
+    from pnp_svrg_tpu.utils.io import resolve_data_path
+
+    paths = list(paths) + [resolve_data_path("13.png")]
+    keys = list(jax.random.split(jax.random.PRNGKey(0), len(paths) - 1))
+    keys.append(jax.random.PRNGKey(0))  # fixed key for the flagship lane
     problems = [
         make_csmri(k, jnp.asarray(load_image(p, h, w)), sample_prob=0.5, snr=10)
         for k, p in zip(keys, paths)
@@ -82,6 +94,11 @@ def main():
         f"bench: {bsz} images x {iters} iters, steady {steady:.2f}s "
         f"(first+compile {compile_and_first:.1f}s), mean final PSNR "
         f"{psnrs.mean():.2f} dB (per-image: {psnrs.round(2).tolist()})",
+        file=sys.stderr,
+    )
+    print(
+        f"bench quality: 13.png flagship config {psnrs[-1]:.2f} dB "
+        f"vs reference 22.8 dB (BASELINE.md CSMRI/SVRG/BM3D)",
         file=sys.stderr,
     )
     print(
