@@ -1,0 +1,85 @@
+"""SNR sweep — the TPU-native rewrite of the reference
+``script_diff_snr_set12.py``: the phase-retrieval x SVRG x BM3D cell swept
+over a list of measurement SNRs with the reference's tighter search ranges
+(eta in [1e-3, 1e-1], mb in [800, 1200], T2 in [50, 80], hist in [5, 15] —
+reference ``script_diff_snr_set12.py:24-42,83-91``), TPE per cell, CSV out.
+
+Usage:
+    python examples/sweep_snr.py --snrs 10 20 --max-evals 10 --out snr.csv
+"""
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--image", default="Set12/01.png")
+    parser.add_argument("--snrs", type=float, nargs="+", default=[10.0])
+    parser.add_argument("--algos", nargs="+", default=["svrg"],
+                        choices=["gd", "sgd", "svrg", "saga", "sarah"])
+    parser.add_argument("--alpha", type=float, default=0.5,
+                        help="sampling ratio: num_meas = alpha * n")
+    parser.add_argument("--size", type=int, default=64)
+    parser.add_argument("--max-evals", type=int, default=10)
+    parser.add_argument("--n-iters", type=int, default=60)
+    parser.add_argument("--out", default="hyperparam-tuning/sweep_snr.csv")
+    args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from pnp_svrg_tpu.denoisers import BM3DDenoiser
+    from pnp_svrg_tpu.denoisers.bm3d import BM3DParams
+    from pnp_svrg_tpu.problems import make_phase_retrieval
+    from pnp_svrg_tpu.tuning import LogUniform, QUniform, Uniform
+    from pnp_svrg_tpu.tuning.sweep import sweep_grid
+    from pnp_svrg_tpu.utils.io import load_image, resolve_data_path
+
+    img = load_image(resolve_data_path(args.image), args.size, args.size)
+    n = args.size * args.size
+    m = int(args.alpha * n)
+
+    def space(algo):
+        # Reference's narrowed SNR-sweep ranges (script_diff_snr_set12.py:37-42).
+        s = {"eta": LogUniform(1e-3, 1e-1), "dstrength": Uniform(0.3, 2.0)}
+        if algo != "gd":
+            s["mini_batch_size"] = QUniform(min(800, m), min(1200, m), 50)
+        if algo in ("svrg", "sarah"):
+            s["t2"] = QUniform(5, 20, 1)
+        if algo == "saga":
+            s["hist_size"] = QUniform(5, 15, 1)
+        return s
+
+    cells = []
+    for snr in args.snrs:
+        prob = make_phase_retrieval(
+            jax.random.PRNGKey(int(snr)), img, num_meas=m, snr=snr
+        )
+        for algo in args.algos:
+            cells.append({
+                "problem": prob,
+                "algo": algo,
+                "denoiser_factory": lambda d: BM3DDenoiser(
+                    sigma_modifier=d, params=BM3DParams(search=6)
+                ),
+                "space": space(algo),
+                "problem_name": "pr",
+                "denoiser_name": "bm3d",
+                "image": args.image,
+                "ratio": args.alpha,
+                "snr": snr,
+                "seed": int(snr),
+            })
+    results = sweep_grid(
+        cells, max_evals=args.max_evals, n_iters=args.n_iters,
+        csv_path=args.out,
+    )
+    print(f"wrote {len(results)} cells to {args.out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -5,5 +5,17 @@ from pnp_svrg_tpu.core.problem import (
     sigma_to_snr,
     minmax_normalize,
 )
+from pnp_svrg_tpu.core.checks import (
+    grad_full_check,
+    grad_stoch_check,
+    GradientCheckError,
+)
 
-__all__ = ["snr_to_sigma", "sigma_to_snr", "minmax_normalize"]
+__all__ = [
+    "snr_to_sigma",
+    "sigma_to_snr",
+    "minmax_normalize",
+    "grad_full_check",
+    "grad_stoch_check",
+    "GradientCheckError",
+]

@@ -89,6 +89,20 @@ class CSMRI:
         """(H, W) 0/1 mask with k ones drawn from sampled mask locations."""
         return sample_k_mask(key, (self.h, self.w), k, allowed=self.mask)
 
+    def full_mb(self) -> jnp.ndarray:
+        """The all-measurements minibatch (every sampled mask location)."""
+        return self.mask
+
+    def m_total(self) -> jnp.ndarray:
+        """Normalizer turning ``grad_stoch(z, full_mb())`` into ``grad_full``."""
+        return self.m0
+
+    def grad_scale(self) -> jnp.ndarray:
+        """Factor s with ``autodiff(f) == s * grad_full``: the DFT adjoint
+        contributes N which cancels f's 1/M (M = N), leaving grad_full's
+        1/M0 as the only mismatch (reference quirk, CSMRI.py:61-81)."""
+        return self.m0
+
     def psnr(self, z: jnp.ndarray) -> jnp.ndarray:
         return psnr(self.x, z.reshape(self.h, self.w))
 

@@ -96,6 +96,14 @@ class Deblur:
     def select_mb(self, key: jax.Array, k: int) -> jnp.ndarray:
         return sample_k_mask(key, (self.m,), k)
 
+    def full_mb(self) -> jnp.ndarray:
+        """The all-measurements minibatch (every low-res pixel)."""
+        return jnp.ones((self.m,), jnp.float32)
+
+    def m_total(self) -> int:
+        """Normalizer turning ``grad_stoch(z, full_mb())`` into ``grad_full``."""
+        return self.m
+
     def psnr(self, z: jnp.ndarray) -> jnp.ndarray:
         return psnr(self.x, z.reshape(self.h, self.w))
 

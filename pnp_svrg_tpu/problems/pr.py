@@ -33,6 +33,13 @@ from pnp_svrg_tpu.ops.metrics import psnr
 from pnp_svrg_tpu.ops.sampling import sample_k_indices
 
 
+def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """MXU dot with at-least-f32 accumulation; preserves f64 inputs (the
+    gradient checkers re-run the problem widened to float64)."""
+    pet = jnp.promote_types(jnp.result_type(a, b), jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=pet)
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["a", "y", "x", "x_init", "snr", "sigma"],
@@ -61,7 +68,7 @@ class PhaseRetrieval:
         return self.num_meas
 
     def forward(self, z: jnp.ndarray) -> jnp.ndarray:
-        return jnp.abs(jnp.dot(self.a, z.ravel(), preferred_element_type=jnp.float32))
+        return jnp.abs(_dot(self.a, z.ravel()))
 
     def f(self, z: jnp.ndarray) -> jnp.ndarray:
         r = self.y - self.forward(z)
@@ -69,10 +76,10 @@ class PhaseRetrieval:
 
     def _amplitude_grad(self, a_rows: jnp.ndarray, y_rows: jnp.ndarray, z) -> jnp.ndarray:
         w = z.ravel()
-        t = jnp.dot(a_rows, w, preferred_element_type=jnp.float32)
+        t = _dot(a_rows, w)
         at = jnp.abs(t)
         weight = (at - y_rows) / at
-        return jnp.dot(a_rows.T, weight * t, preferred_element_type=jnp.float32)
+        return _dot(a_rows.T, weight * t)
 
     def grad_full(self, z: jnp.ndarray) -> jnp.ndarray:
         return self._amplitude_grad(self.a, self.y, z) / self.m
@@ -83,6 +90,14 @@ class PhaseRetrieval:
 
     def select_mb(self, key: jax.Array, k: int) -> jnp.ndarray:
         return sample_k_indices(key, self.m, k)
+
+    def full_mb(self) -> jnp.ndarray:
+        """The all-measurements minibatch (every row of A)."""
+        return jnp.arange(self.m, dtype=jnp.int32)
+
+    def m_total(self) -> int:
+        """Normalizer turning ``grad_stoch(z, full_mb())`` into ``grad_full``."""
+        return self.m
 
     def psnr(self, z: jnp.ndarray) -> jnp.ndarray:
         return psnr(self.x, z.reshape(self.h, self.w))
@@ -102,8 +117,8 @@ def spectral_init(
     n = a.shape[1]
 
     def dv(v):
-        av = jnp.dot(a, v, preferred_element_type=jnp.float32)
-        return jnp.dot(a.T, y * av, preferred_element_type=jnp.float32) / m
+        av = _dot(a, v)
+        return _dot(a.T, y * av) / m
 
     def cond(state):
         v, v_old, mu, mu_old, it = state
@@ -141,7 +156,7 @@ def make_phase_retrieval(
     n = h * w
     k_a, k_noise = jax.random.split(key)
     a = jax.random.normal(k_a, (num_meas, n), jnp.float32)
-    y0 = jnp.abs(jnp.dot(a, x.ravel(), preferred_element_type=jnp.float32))
+    y0 = jnp.abs(_dot(a, x.ravel()))
     snr_out, sig = resolve_noise(y0, h, w, snr, sigma)
     y = y0 + sig * jax.random.normal(k_noise, y0.shape)
     xi = spectral_init(a, y, jnp.linalg.norm(x.ravel()))

@@ -7,6 +7,14 @@ from pnp_svrg_tpu.training.checkpoint import (
     load_checkpoint,
     ConfigMismatch,
 )
+from pnp_svrg_tpu.training.utils import (
+    batch_psnr,
+    batch_ssim,
+    l2_reg_normal_ortho,
+    adjust_ortho_decay_rate,
+    unroll_kernel,
+    unroll_kernel_sparse,
+)
 
 __all__ = [
     "TrainConfig",
@@ -15,4 +23,10 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "ConfigMismatch",
+    "batch_psnr",
+    "batch_ssim",
+    "l2_reg_normal_ortho",
+    "adjust_ortho_decay_rate",
+    "unroll_kernel",
+    "unroll_kernel_sparse",
 ]

@@ -1,5 +1,31 @@
-"""Host-side utilities: image IO, config, logging, timing."""
+"""Host-side utilities: image IO, config, logging, profiling, viz."""
 
 from pnp_svrg_tpu.utils.io import load_image, SET12_DIR, REFERENCE_DATA_DIR
+from pnp_svrg_tpu.utils.config import (
+    Params,
+    ExperimentConfig,
+    ProblemConfig,
+    AlgorithmConfig,
+    DenoiserConfig,
+    MeshConfig,
+    SweepConfig,
+)
+from pnp_svrg_tpu.utils.log import set_logger
+from pnp_svrg_tpu.utils.profiling import trace, annotate, PhaseTimers
 
-__all__ = ["load_image", "SET12_DIR", "REFERENCE_DATA_DIR"]
+__all__ = [
+    "load_image",
+    "SET12_DIR",
+    "REFERENCE_DATA_DIR",
+    "Params",
+    "ExperimentConfig",
+    "ProblemConfig",
+    "AlgorithmConfig",
+    "DenoiserConfig",
+    "MeshConfig",
+    "SweepConfig",
+    "set_logger",
+    "trace",
+    "annotate",
+    "PhaseTimers",
+]
