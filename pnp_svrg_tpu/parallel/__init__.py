@@ -11,7 +11,12 @@ Here parallelism is a first-class ``jax.sharding.Mesh`` with two axes:
   allreduce).
 """
 
-from pnp_svrg_tpu.parallel.mesh import make_mesh, BATCH_AXIS, MEAS_AXIS
+from pnp_svrg_tpu.parallel.mesh import (
+    make_mesh,
+    init_distributed,
+    BATCH_AXIS,
+    MEAS_AXIS,
+)
 from pnp_svrg_tpu.core.batched import BatchedProblem, stack_problems
 from pnp_svrg_tpu.parallel.runner import (
     run_batch,
@@ -25,6 +30,7 @@ from pnp_svrg_tpu.parallel.sharded import (
 
 __all__ = [
     "make_mesh",
+    "init_distributed",
     "BATCH_AXIS",
     "MEAS_AXIS",
     "BatchedProblem",

@@ -127,3 +127,13 @@ class TestBatchedRunner:
         out = run_batch("gd", probs, den, mesh=mesh, eta=100.0, n_iters=3)
         assert out["final_psnr"].shape == (8,)
         assert np.isfinite(np.asarray(out["final_psnr"])).all()
+
+
+class TestInitDistributed:
+    def test_noop_without_env(self, monkeypatch):
+        # With no coordinator/env configured this must be a silent no-op.
+        from pnp_svrg_tpu.parallel import init_distributed
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        init_distributed()
