@@ -13,9 +13,9 @@ TPU-native design choices (vs. the CPU algorithm's irregular loops):
 * **Block matching in shift space.** Instead of per-reference-block searches,
   distances are computed per *offset*: for each of the (2r+1)^2 static search
   offsets d, the squared-difference image against the statically-sliced
-  shifted image is box-filtered with separable ``reduce_window`` sums — O(N)
-  perfectly vectorized VPU work per offset, read off at the reference stride
-  grid with a constant gather. No dynamic rolls, no scan-carried index math,
+  shifted image is contracted with two banded 0/1 matrices (box filter +
+  reference-grid sampling fused into MXU matmuls, emitted offset-last so
+  top_k needs no relayout). No dynamic rolls, no scan-carried index math,
   no data-dependent control flow anywhere.
 * **Fixed group size K via top_k** over the offset axis (the GPU-style
   variant of the paper's tau-thresholded variable-size groups; keeps every
@@ -80,6 +80,17 @@ def _box_sum_batch(v: jnp.ndarray, block: int) -> jnp.ndarray:
     return jax.lax.reduce_window(s, 0.0, jax.lax.add, win2, ones, "VALID")
 
 
+@functools.lru_cache(maxsize=16)
+def _band_select(size: int, grid: tuple, block: int) -> np.ndarray:
+    """(size, len(grid)) banded 0/1 matrix: column i sums window
+    [grid[i], grid[i]+block) — box filter + reference-grid sampling fused
+    into one MXU contraction."""
+    s = np.zeros((size, len(grid)), np.float32)
+    for i, g in enumerate(grid):
+        s[g : g + block, i] = 1.0
+    return s
+
+
 def _match_distances(imgs, rows, cols, offsets, block, chunk: int = 72):
     """Patch SSD between each reference block and each offset candidate.
 
@@ -87,12 +98,18 @@ def _match_distances(imgs, rows, cols, offsets, block, chunk: int = 72):
     every shift becomes a static slice of the zero-padded image, and
     out-of-bounds validity is a baked-in constant mask. Shifts are processed
     in chunks to bound the (B, chunk, H, W) intermediate. Returns
-    (B, S, nR, nC) with +inf at invalid candidates.
+    (B, nR, nC, S) — offset axis last — with +inf at invalid candidates.
     """
     b, h, w = imgs.shape
     last_r, last_c = h - block, w - block
     rows_np = np.asarray(rows)
     cols_np = np.asarray(cols)
+    # Box filter + reference-grid sampling as two banded matmuls: profiling
+    # showed reduce_window over the FULL (H-b+1, W-b+1) map followed by grid
+    # slicing wasted ~15x work (the grid keeps ~1/16 of positions) and cost
+    # ~7 ms/call at batch 13; the fused contractions run on the MXU.
+    sel_h = jnp.asarray(_band_select(h, tuple(rows_np.tolist()), block))
+    sel_w = jnp.asarray(_band_select(w, tuple(cols_np.tolist()), block))
     r = int(np.abs(offsets).max())
     padded = jnp.pad(imgs, ((0, 0), (r, r), (r, r)))
     parts = []
@@ -103,30 +120,46 @@ def _match_distances(imgs, rows, cols, offsets, block, chunk: int = 72):
             axis=1,
         )  # (B, c, H, W)
         sq = (imgs[:, None] - shifted) ** 2
-        box = _box_sum_batch(sq, block)  # (B, c, last_r+1, last_c+1)
-        d = box[:, :, rows_np][:, :, :, cols_np]  # (B, c, nR, nC)
+        d = jnp.einsum(
+            "hi,bchw,wj->bijc",
+            sel_h,
+            sq,
+            sel_w,
+            preferred_element_type=jnp.float32,
+        )  # (B, nR, nC, c) — offset axis LAST so top_k needs no relayout
         valid = (
-            (rows_np[None, :, None] + offs[:, 0][:, None, None] >= 0)
-            & (rows_np[None, :, None] + offs[:, 0][:, None, None] <= last_r)
-            & (cols_np[None, None, :] + offs[:, 1][:, None, None] >= 0)
-            & (cols_np[None, None, :] + offs[:, 1][:, None, None] <= last_c)
-        )  # (c, nR, nC) static
+            (rows_np[:, None, None] + offs[:, 0][None, None, :] >= 0)
+            & (rows_np[:, None, None] + offs[:, 0][None, None, :] <= last_r)
+            & (cols_np[None, :, None] + offs[:, 1][None, None, :] >= 0)
+            & (cols_np[None, :, None] + offs[:, 1][None, None, :] <= last_c)
+        )  # (nR, nC, c) static
         parts.append(jnp.where(jnp.asarray(valid)[None], d, jnp.inf))
-    return jnp.concatenate(parts, axis=1)  # (B, S, nR, nC)
+    return jnp.concatenate(parts, axis=-1)  # (B, nR, nC, S)
+
+
+@functools.lru_cache(maxsize=8)
+def _unfold_filters(block: int) -> np.ndarray:
+    """(block, block, 1, block*block) one-hot im2col filter bank."""
+    eye = np.zeros((block, block, 1, block * block), np.float32)
+    for ky in range(block):
+        for kx in range(block):
+            eye[ky, kx, 0, ky * block + kx] = 1.0
+    return eye
 
 
 def _patch_tensor(imgs, block):
-    """(B, H-b+1, W-b+1, b*b) tensor of all patches, built from b*b static
-    slices (a strided view XLA folds into cheap reshapes)."""
-    b, h, w = imgs.shape
-    hh, ww = h - block + 1, w - block + 1
-    return jnp.stack(
-        [
-            imgs[:, ky : ky + hh, kx : kx + ww]
-            for ky in range(block)
-            for kx in range(block)
-        ],
-        axis=-1,
+    """(B, H-b+1, W-b+1, b*b) tensor of all patches, as ONE one-hot VALID
+    conv (the hardware's im2col path). A b*b-way ``jnp.stack`` on the last
+    axis lowers to a concatenate of (B*hh*ww, 1) columns — measured 5.4 ms
+    per call at batch 13 on v5e vs sub-ms for the conv."""
+    f = jnp.asarray(_unfold_filters(block), imgs.dtype)
+    return jax.lax.conv_general_dilated(
+        imgs[..., None],
+        f,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=imgs.dtype,
     )
 
 
@@ -237,7 +270,7 @@ def bm3d_denoise_batch(
     # ---- Stage 1: hard thresholding --------------------------------------
     t3_ht = jnp.asarray(np.kron(hadamard_matrix(p.group_ht), d2d_np))
     dists = _match_distances(x, rows, cols, offsets, p.block)
-    _, top_idx = jax.lax.top_k(-jnp.moveaxis(dists, 1, -1), p.group_ht)
+    _, top_idx = jax.lax.top_k(-dists, p.group_ht)
     groups, py, px = _gather_groups(x, rows, cols, offsets, top_idx, p.block)
     coeffs = _transform_3d(groups.reshape(*groups.shape[:3], -1), t3_ht)
     keep = jnp.abs(coeffs) > p.lam * sig_c
@@ -254,7 +287,7 @@ def bm3d_denoise_batch(
     # ---- Stage 2: Wiener filtering with the basic estimate as pilot ------
     t3_w = jnp.asarray(np.kron(hadamard_matrix(p.group_wie), d2d_np))
     dists2 = _match_distances(basic, rows, cols, offsets, p.block)
-    _, top_idx2 = jax.lax.top_k(-jnp.moveaxis(dists2, 1, -1), p.group_wie)
+    _, top_idx2 = jax.lax.top_k(-dists2, p.group_wie)
     g_basic, py2, px2 = _gather_groups(basic, rows, cols, offsets, top_idx2, p.block)
     g_noisy, _, _ = _gather_groups(x, rows, cols, offsets, top_idx2, p.block)
     c_basic = _transform_3d(g_basic.reshape(*g_basic.shape[:3], -1), t3_w)

@@ -65,7 +65,7 @@ class TestMatching:
         cols = np.array([0], np.int32)
         offsets = np.array([[0, 0], [16, 16], [4, 4]], np.int32)
         d = _match_distances(jnp.asarray(img)[None], rows, cols, offsets, 8)
-        d = np.asarray(d)[0, :, 0, 0]
+        d = np.asarray(d)[0, 0, 0, :]  # (B, nR, nC, S) — offset axis last
         assert d[0] < 1e-5  # self
         assert d[1] < 1e-5  # duplicate
         assert d[2] > 1e-3  # generic offset
@@ -75,7 +75,7 @@ class TestMatching:
         rows = np.array([0], np.int32)
         cols = np.array([0], np.int32)
         offsets = np.array([[-1, 0], [0, -1], [9, 0]], np.int32)
-        d = np.asarray(_match_distances(img[None], rows, cols, offsets, 8))[0, :, 0, 0]
+        d = np.asarray(_match_distances(img[None], rows, cols, offsets, 8))[0, 0, 0, :]
         assert np.isinf(d[0]) and np.isinf(d[1]) and np.isinf(d[2])
 
 
