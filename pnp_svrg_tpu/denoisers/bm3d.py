@@ -106,7 +106,9 @@ def _top_k_offsets(dists: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(idxs, axis=-1)
 
 
-def _match_distances(imgs, rows, cols, offsets, block, chunk: int = 72):
+def _match_distances(
+    imgs, rows, cols, offsets, block, chunk: int = 72, row_valid_bounds=None
+):
     """Patch SSD between each reference block and each offset candidate.
 
     ``imgs``: (B, H, W). ``offsets`` must be a *static* numpy (S, 2) array:
@@ -114,6 +116,10 @@ def _match_distances(imgs, rows, cols, offsets, block, chunk: int = 72):
     out-of-bounds validity is a baked-in constant mask. Shifts are processed
     in chunks to bound the (B, chunk, H, W) intermediate. Returns
     (B, nR, nC, S) — offset axis last — with +inf at invalid candidates.
+    ``row_valid_bounds``: optional traced (lo, hi) restricting candidate rows
+    to [lo, hi - block] — the row-sharded spatial path uses it so halo rows
+    at a global image edge are excluded exactly like the unsharded kernel's
+    border truncation (``parallel/spatial.py``).
     """
     b, h, w = imgs.shape
     last_r, last_c = h - block, w - block
@@ -148,7 +154,14 @@ def _match_distances(imgs, rows, cols, offsets, block, chunk: int = 72):
             & (cols_np[None, :, None] + offs[:, 1][None, None, :] >= 0)
             & (cols_np[None, :, None] + offs[:, 1][None, None, :] <= last_c)
         )  # (nR, nC, c) static
-        parts.append(jnp.where(jnp.asarray(valid)[None], d, jnp.inf))
+        valid = jnp.asarray(valid)
+        if row_valid_bounds is not None:
+            lo, hi = row_valid_bounds
+            cand_r = jnp.asarray(rows_np)[:, None, None] + jnp.asarray(
+                offs[:, 0]
+            )[None, None, :]
+            valid = valid & (cand_r >= lo) & (cand_r <= hi - block)
+        parts.append(jnp.where(valid[None], d, jnp.inf))
     return jnp.concatenate(parts, axis=-1)  # (B, nR, nC, S)
 
 
@@ -260,9 +273,13 @@ def bm3d_denoise_batch(
     sigma: jnp.ndarray,
     params: BM3DParams = BM3DParams(),
     stages: int = 2,
+    row_valid_bounds: tuple | None = None,
 ) -> jnp.ndarray:
     """Two-stage BM3D over a (B, H, W) image batch with per-image ``sigma``
-    ((B,) or scalar). ``stages=1`` runs hard-thresholding only."""
+    ((B,) or scalar). ``stages=1`` runs hard-thresholding only.
+    ``row_valid_bounds``: optional traced (lo, hi) marking rows outside
+    [lo, hi) as padding — candidates there are never matched and reference
+    blocks there get zero aggregation weight (spatial sharding support)."""
     p = params
     x = images.astype(jnp.float32)
     b, h, w = x.shape
@@ -282,9 +299,20 @@ def bm3d_denoise_batch(
     kaiser = jnp.asarray(kaiser2d(p.block, p.kaiser_beta))
     bb = p.block * p.block
 
+    # Reference blocks fully inside [lo, hi) when bounds are given; phantom
+    # refs (in spatial-shard halo padding) get zero aggregation weight.
+    if row_valid_bounds is not None:
+        lo, hi = row_valid_bounds
+        ref_valid = ((jnp.asarray(rows) >= lo) & (jnp.asarray(rows) <= hi - p.block))
+        ref_w = ref_valid.astype(jnp.float32)[None, :, None]  # (1, nR, 1)
+    else:
+        ref_w = 1.0
+
     # ---- Stage 1: hard thresholding --------------------------------------
     t3_ht = jnp.asarray(np.kron(hadamard_matrix(p.group_ht), d2d_np))
-    dists = _match_distances(x, rows, cols, offsets, p.block)
+    dists = _match_distances(
+        x, rows, cols, offsets, p.block, row_valid_bounds=row_valid_bounds
+    )
     top_idx = _top_k_offsets(dists, p.group_ht)
     groups, py, px = _gather_groups(x, rows, cols, offsets, top_idx, p.block)
     coeffs = _transform_3d(groups.reshape(*groups.shape[:3], -1), t3_ht)
@@ -292,7 +320,7 @@ def bm3d_denoise_batch(
     coeffs_ht = jnp.where(keep, coeffs, 0.0)
     n_kept = jnp.maximum(jnp.sum(keep, axis=-1), 1).astype(jnp.float32)
     est = _itransform_3d(coeffs_ht, t3_ht).reshape(*groups.shape[:3], -1, bb)
-    wgt = 1.0 / (sig_g * sig_g * n_kept + 1e-12)
+    wgt = ref_w / (sig_g * sig_g * n_kept + 1e-12)
     num, den = _aggregate(est, wgt, py, px, p.block, h, w, kaiser)
     basic = num / jnp.maximum(den, 1e-12)
 
@@ -301,7 +329,9 @@ def bm3d_denoise_batch(
 
     # ---- Stage 2: Wiener filtering with the basic estimate as pilot ------
     t3_w = jnp.asarray(np.kron(hadamard_matrix(p.group_wie), d2d_np))
-    dists2 = _match_distances(basic, rows, cols, offsets, p.block)
+    dists2 = _match_distances(
+        basic, rows, cols, offsets, p.block, row_valid_bounds=row_valid_bounds
+    )
     top_idx2 = _top_k_offsets(dists2, p.group_wie)
     g_basic, py2, px2 = _gather_groups(basic, rows, cols, offsets, top_idx2, p.block)
     g_noisy, _, _ = _gather_groups(x, rows, cols, offsets, top_idx2, p.block)
@@ -309,7 +339,7 @@ def bm3d_denoise_batch(
     c_noisy = _transform_3d(g_noisy.reshape(*g_noisy.shape[:3], -1), t3_w)
     wien = c_basic**2 / (c_basic**2 + sig_c * sig_c + 1e-12)
     est2 = _itransform_3d(wien * c_noisy, t3_w).reshape(*g_basic.shape[:3], -1, bb)
-    wgt2 = 1.0 / (sig_g * sig_g * jnp.sum(wien**2, axis=-1) + 1e-12)
+    wgt2 = ref_w / (sig_g * sig_g * jnp.sum(wien**2, axis=-1) + 1e-12)
     num2, den2 = _aggregate(est2, wgt2, py2, px2, p.block, h, w, kaiser)
     return num2 / jnp.maximum(den2, 1e-12)
 
@@ -320,9 +350,13 @@ def bm3d_denoise(
     sigma: jnp.ndarray,
     params: BM3DParams = BM3DParams(),
     stages: int = 2,
+    row_valid_bounds: tuple | None = None,
 ) -> jnp.ndarray:
     """Two-stage BM3D of a single (H, W) image (batch-of-one fast path)."""
-    return bm3d_denoise_batch(image[None], sigma, params=params, stages=stages)[0]
+    return bm3d_denoise_batch(
+        image[None], sigma, params=params, stages=stages,
+        row_valid_bounds=row_valid_bounds,
+    )[0]
 
 
 @functools.partial(

@@ -42,11 +42,16 @@ def nlm_denoise(
     sigma: jnp.ndarray,
     patch_size: int = 4,
     patch_distance: int = 5,
+    row_valid_bounds: tuple | None = None,
 ) -> jnp.ndarray:
     """Non-local means on a 2-D image (slow/exact mode, uniform patch weights).
 
     ``h``: filtering strength; ``sigma``: noise sd used for the distance
-    offset ``2 sigma^2`` (skimage semantics).
+    offset ``2 sigma^2`` (skimage semantics). ``row_valid_bounds``: optional
+    (lo, hi) scalars restricting which ROWS count as in-image candidates —
+    used by the row-sharded spatial path (``parallel/spatial.py``) so halo
+    rows filled by a global-edge shard are excluded exactly like skimage's
+    border truncation; default is the full height.
     """
     x = image.astype(jnp.float32)
     hh, ww = x.shape[-2:]
@@ -93,8 +98,12 @@ def nlm_denoise(
         # Invalidate out-of-bounds shifts (skimage only visits in-range q).
         row = jnp.arange(hh)[:, None]
         col = jnp.arange(ww)[None, :]
+        row_lo, row_hi = (0, hh) if row_valid_bounds is None else row_valid_bounds
         valid = (
-            (row + dy >= 0) & (row + dy < hh) & (col + dx >= 0) & (col + dx < ww)
+            (row + dy >= row_lo)
+            & (row + dy < row_hi)
+            & (col + dx >= 0)
+            & (col + dx < ww)
         ).astype(x.dtype)
         wgt = wgt * valid
         wsum = wsum + wgt

@@ -27,6 +27,11 @@ from pnp_svrg_tpu.parallel.sharded import (
     pr_grad_full_sharded,
     sharded_pnp_step,
 )
+from pnp_svrg_tpu.parallel.spatial import (
+    denoise_spatial,
+    nlm_denoise_spatial,
+    bm3d_denoise_spatial,
+)
 
 __all__ = [
     "make_mesh",
@@ -40,4 +45,7 @@ __all__ = [
     "shard_pr_problem",
     "pr_grad_full_sharded",
     "sharded_pnp_step",
+    "denoise_spatial",
+    "nlm_denoise_spatial",
+    "bm3d_denoise_spatial",
 ]

@@ -137,3 +137,38 @@ class TestInitDistributed:
         for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
             monkeypatch.delenv(var, raising=False)
         init_distributed()
+
+
+class TestSpatialSharding:
+    """Row-sharded denoising with halo exchange (parallel/spatial.py)."""
+
+    def _mesh(self, n):
+        from pnp_svrg_tpu.parallel import make_mesh
+
+        return make_mesh((n, 1), devices=jax.devices()[:n])
+
+    def test_nlm_spatial_matches_single_device(self, rng):
+        from pnp_svrg_tpu.denoisers.nlm import nlm_denoise
+        from pnp_svrg_tpu.parallel import nlm_denoise_spatial
+
+        img = jnp.asarray(rng.uniform(0, 1, (128, 64)), jnp.float32)
+        ref = nlm_denoise(img, 0.1, 0.1)
+        out = nlm_denoise_spatial(img, 0.1, 0.1, self._mesh(4))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_bm3d_spatial_matches_single_device(self, rng):
+        from pnp_svrg_tpu.denoisers.bm3d import BM3DParams, bm3d_denoise
+        from pnp_svrg_tpu.parallel import bm3d_denoise_spatial
+
+        p = BM3DParams(search=4)
+        img = jnp.asarray(rng.uniform(0, 1, (128, 64)), jnp.float32)
+        ref = np.asarray(bm3d_denoise(img, 0.08, params=p))
+        out = np.asarray(bm3d_denoise_spatial(img, 0.08, self._mesh(2), params=p))
+        np.testing.assert_allclose(out, ref, atol=2e-6)
+
+    def test_halo_too_large_raises(self, rng):
+        from pnp_svrg_tpu.parallel import denoise_spatial
+
+        img = jnp.asarray(rng.uniform(0, 1, (32, 64)), jnp.float32)
+        with pytest.raises(ValueError, match="too small"):
+            denoise_spatial(lambda x: x, img, self._mesh(8), halo=16)
