@@ -42,12 +42,16 @@ def main(argv=None):
     den = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=8))
     key = jax.random.PRNGKey(1)
     # The kernel is scaled by 1/N (reference DeblurSR.py:93), so step sizes
-    # are huge; the notebook config uses eta=1e7 with T2=10, mb=100.
+    # are huge (the notebook used eta=1e7, tt=60 — it saved no outputs for
+    # this experiment). The "Minimal" 3-point blur has spectral nulls, so
+    # PnP here is semi-convergent: PSNR peaks then decays as the denoiser
+    # keeps smoothing after the decayed data steps vanish. These budgets
+    # stop near the peak (~+9 dB over the uniform-random init).
     runs = {
         "svrg+bm3d": lambda: pnp_svrg(
-            prob, den, eta=5e6, n_outer=16, t2=10, mini_batch_size=100,
-            key=key),
-        "gd+bm3d": lambda: pnp_gd(prob, den, eta=1e7, n_iters=160),
+            prob, den, eta=2e9, n_outer=4, t2=6, mini_batch_size=5000,
+            lr_decay=0.6, key=key),
+        "gd+bm3d": lambda: pnp_gd(prob, den, eta=1e10, n_iters=8, lr_decay=0.9),
     }
     rows = []
     for name, fn in runs.items():
