@@ -64,20 +64,20 @@ def main(argv=None):
         # for full grads, eta < mb for control-variate terms).
         runs = {
             "gd": lambda: pnp_gd(
-                prob, BM3DDenoiser(sigma_modifier=1.0, params=params),
+                prob, BM3DDenoiser(sigma_modifier=1.5, params=params),
                 eta=6000.0, n_iters=198),
             "sgd": lambda: pnp_sgd(
-                prob, BM3DDenoiser(sigma_modifier=1.0, params=params),
-                eta=3000.0, n_iters=176, mini_batch_size=4000, key=key),
+                prob, BM3DDenoiser(sigma_modifier=1.5, params=params),
+                eta=6000.0, n_iters=176, mini_batch_size=4000, key=key),
             "svrg": lambda: pnp_svrg(
-                prob, BM3DDenoiser(sigma_modifier=1.0, params=params),
-                eta=3000.0, n_outer=16, t2=10, mini_batch_size=4000, key=key),
+                prob, BM3DDenoiser(sigma_modifier=1.5, params=params),
+                eta=6000.0, n_outer=16, t2=10, mini_batch_size=4000, key=key),
             "saga": lambda: pnp_saga(
                 prob, BM3DDenoiser(sigma_modifier=1.0, params=params),
                 eta=3000.0, n_iters=149, mini_batch_size=5000, hist_size=10,
                 key=key),
             "sarah": lambda: pnp_sarah(
-                prob, BM3DDenoiser(sigma_modifier=1.0, params=params),
+                prob, BM3DDenoiser(sigma_modifier=1.5, params=params),
                 eta=1500.0, n_outer=15, t2=10, mini_batch_size=4000, key=key),
         }
     else:
