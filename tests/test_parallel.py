@@ -128,6 +128,30 @@ class TestBatchedRunner:
         assert out["final_psnr"].shape == (8,)
         assert np.isfinite(np.asarray(out["final_psnr"])).all()
 
+    @pytest.mark.parametrize("algo,extra", [
+        ("svrg", {"n_outer": 2, "t2": 2}),
+        ("saga", {"n_iters": 4, "hist_size": 4}),
+        ("sarah", {"n_outer": 2, "t2": 2}),
+    ])
+    def test_variance_reduced_on_mesh_matches_unsharded(self, key, algo, extra):
+        # The SVRG snapshot and the SAGA (hist, B, N) history table shard
+        # over the mesh batch axis (SURVEY.md §2.10); results must equal the
+        # single-device batched run exactly.
+        mesh = make_mesh((8, 1))
+        probs = [
+            make_csmri(jax.random.PRNGKey(i), _img(16), sample_prob=0.5, snr=10)
+            for i in range(8)
+        ]
+        den = TVDenoiser(sigma_modifier=0.7)
+        kw = dict(eta=100.0, mini_batch_size=32, key=jax.random.PRNGKey(9), **extra)
+        sharded = run_batch(algo, probs, den, mesh=mesh, **kw)
+        local = run_batch(algo, probs, den, **kw)
+        np.testing.assert_allclose(
+            np.asarray(sharded["final_psnr"]),
+            np.asarray(local["final_psnr"]),
+            atol=1e-4,
+        )
+
 
 class TestInitDistributed:
     def test_noop_without_env(self, monkeypatch):
