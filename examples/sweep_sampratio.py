@@ -25,6 +25,8 @@ def main(argv=None):
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--max-evals", type=int, default=10)
     parser.add_argument("--n-iters", type=int, default=60)
+    parser.add_argument("--trial-batch", type=int, default=1,
+                        help="TPE candidates evaluated per compiled batched run")
     parser.add_argument("--out", default="hyperparam-tuning/sweep.csv")
     args = parser.parse_args(argv)
     if args.cpu:
@@ -69,7 +71,7 @@ def main(argv=None):
                     })
     results = sweep_grid(
         cells, max_evals=args.max_evals, n_iters=args.n_iters,
-        csv_path=args.out,
+        csv_path=args.out, trial_batch=args.trial_batch,
     )
     print(f"wrote {len(results)} cells to {args.out}")
     return results

@@ -70,7 +70,12 @@ def _denoise_step(problem, denoiser, z_flat, v, step_size, t):
 
     Batch-polymorphic: ``z_flat`` is (N,) or (B, N); denoisers receive the
     full (B, H, W) stack in one call (native batched kernels, no vmap).
+    ``step_size`` may be a scalar or (B,) — per-lane step sizes let the
+    tuner evaluate a whole batch of eta candidates in one compiled run.
     """
+    step_size = jnp.asarray(step_size)
+    if step_size.ndim:
+        step_size = step_size[..., None]
     z_flat = z_flat - step_size * v.reshape(z_flat.shape)
     img = z_flat.reshape(z_flat.shape[:-1] + (problem.h, problem.w))
     psnr_mid = problem.psnr(img)

@@ -15,7 +15,11 @@ from pnp_svrg_tpu.tuning.tpe import (
     Choice,
     Trials,
 )
-from pnp_svrg_tpu.tuning.sweep import sweep_grid, SweepCell
+from pnp_svrg_tpu.tuning.sweep import (
+    sweep_grid,
+    SweepCell,
+    make_batched_cell_objective,
+)
 
 __all__ = [
     "fmin",
@@ -25,5 +29,6 @@ __all__ = [
     "Choice",
     "Trials",
     "sweep_grid",
+    "make_batched_cell_objective",
     "SweepCell",
 ]

@@ -94,32 +94,127 @@ def make_cell_objective(
     return objective
 
 
+def make_batched_cell_objective(
+    algo: str,
+    problem,
+    denoiser_factory: Callable[[Any], Any],
+    n_iters: int = 100,
+    seed: int = 0,
+):
+    """Batch objective: evaluate a ROUND of TPE candidates in one compiled run.
+
+    The continuous hyperparameters (eta, denoiser strength) are traced
+    per-lane values, so C candidates become a C-wide problem batch driven by
+    one ``run_pnp`` invocation — the TPU-native replacement for hyperopt's
+    sequential trial loop. Candidates are grouped by their *static* keys
+    (mini_batch_size / t2 / hist_size) since those shape the program.
+
+    Pass to :func:`pnp_svrg_tpu.tuning.fmin` as ``batch_objective`` together
+    with ``batch_size``. Measured payoff: large when single-trial runs
+    underutilize the chip (small images, CPU) or when dispatch latency
+    dominates; at 128^2 with BM3D one trial already nearly saturates a v5e
+    (1.62 -> 1.35 ms per image-iteration going 1 -> 8 lanes), so there the
+    win is mostly the per-trial dispatch overhead.
+    """
+    from pnp_svrg_tpu.core.batched import stack_problems
+
+    key = jax.random.PRNGKey(seed)
+    init_psnr = float(problem.psnr(problem.x_init))
+
+    def run_group(group: list[tuple[int, dict]]):
+        c = len(group)
+        batched = stack_problems([problem] * c)
+        eta = jnp.asarray([p["eta"] for _, p in group], jnp.float32)
+        dstr = jnp.asarray(
+            [p.get("dstrength", 1.0) for _, p in group], jnp.float32
+        )
+        den = denoiser_factory(dstr)
+        p0 = group[0][1]
+        kwargs: dict[str, Any] = {"eta": eta, "key": key}
+        if algo in ("sgd", "saga"):
+            kwargs.update(
+                n_iters=n_iters, mini_batch_size=int(p0["mini_batch_size"])
+            )
+            if algo == "saga":
+                kwargs["hist_size"] = int(p0["hist_size"])
+        elif algo in ("svrg", "sarah"):
+            t2 = int(p0["t2"])
+            kwargs.update(
+                n_outer=max(1, n_iters // (t2 + 1)),
+                t2=t2,
+                mini_batch_size=int(p0["mini_batch_size"]),
+            )
+        else:
+            kwargs["n_iters"] = n_iters
+        out = run_pnp(algo, batched, den, diverge_check=True, **kwargs)
+        import numpy as np
+
+        finals = np.asarray(out["final_psnr"], float)
+        finals = np.where(np.isfinite(finals), finals, -100.0)
+        return [
+            (i, {"loss": init_psnr - f, "final_psnr": float(f)})
+            for (i, _), f in zip(group, finals)
+        ]
+
+    def static_sig(p: dict):
+        return tuple(
+            int(p[k]) for k in ("mini_batch_size", "t2", "hist_size") if k in p
+        )
+
+    def batch_objective(params_list: list[dict]):
+        groups: dict[tuple, list[tuple[int, dict]]] = {}
+        for i, p in enumerate(params_list):
+            groups.setdefault(static_sig(p), []).append((i, p))
+        results: list = [None] * len(params_list)
+        for group in groups.values():
+            for i, res in run_group(group):
+                results[i] = res
+        return results
+
+    return batch_objective
+
+
 def sweep_grid(
     cells: Sequence[dict],
     max_evals: int = 25,
     n_iters: int = 100,
     csv_path: str | Path | None = None,
     verbose: bool = True,
+    trial_batch: int = 1,
 ) -> list[SweepCell]:
     """Run a TPE search per cell dict and optionally emit a CSV.
 
     Each cell dict needs: problem (instance), algo (str), denoiser_factory
     (dstrength -> denoiser), and labels problem_name/denoiser_name/image/
     ratio/snr. CSV columns mirror the reference's sweep output
-    (``script_diff_sampratio_set12.py:151-160``).
+    (``script_diff_sampratio_set12.py:151-160``). ``trial_batch > 1``
+    evaluates that many TPE candidates per compiled run (batched trials).
     """
     results = []
     for cell in cells:
         problem = cell["problem"]
         algo = cell["algo"]
         space = cell.get("space") or default_space(algo, problem.m)
-        objective = make_cell_objective(
-            algo, problem, cell["denoiser_factory"], n_iters=n_iters,
-            seed=cell.get("seed", 0),
-        )
-        best, trials = fmin(
-            objective, space, max_evals=max_evals, seed=cell.get("seed", 0)
-        )
+        if trial_batch > 1:
+            best, trials = fmin(
+                None,
+                space,
+                max_evals=max_evals,
+                seed=cell.get("seed", 0),
+                batch_size=trial_batch,
+                batch_objective=make_batched_cell_objective(
+                    algo, problem, cell["denoiser_factory"], n_iters=n_iters,
+                    seed=cell.get("seed", 0),
+                ),
+            )
+        else:
+            objective = make_cell_objective(
+                algo, problem, cell["denoiser_factory"], n_iters=n_iters,
+                seed=cell.get("seed", 0),
+            )
+            best, trials = fmin(
+                objective, space, max_evals=max_evals, seed=cell.get("seed", 0)
+            )
         rec = SweepCell(
             problem_name=cell.get("problem_name", type(problem).__name__),
             algo=algo,

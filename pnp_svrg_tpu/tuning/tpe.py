@@ -128,7 +128,7 @@ def _parzen_logpdf(u: float, centers: np.ndarray, bw: float) -> float:
 
 
 def fmin(
-    objective: Callable[[dict], float | dict],
+    objective: Callable[[dict], float | dict] | None,
     space: dict[str, Any],
     max_evals: int = 50,
     seed: int = 0,
@@ -136,53 +136,78 @@ def fmin(
     gamma: float = 0.25,
     n_candidates: int = 24,
     trials: Trials | None = None,
+    batch_size: int = 1,
+    batch_objective: Callable[[list[dict]], Sequence[float | dict]] | None = None,
 ) -> tuple[dict, Trials]:
     """Minimize ``objective(params)`` over ``space``.
 
     ``objective`` may return a float loss or a dict with a ``"loss"`` key
     (hyperopt style). Returns (best_params, trials).
+
+    With ``batch_size > 1``, each round proposes ``batch_size`` candidates
+    (diverse top-scoring draws from the TPE proposal density) and evaluates
+    them together — pass ``batch_objective(list_of_params) -> list_of_results``
+    to run them as ONE batched TPU program (see
+    ``tuning.sweep.make_batched_cell_objective``); otherwise the plain
+    ``objective`` is mapped over the round.
     """
     rng = np.random.default_rng(seed)
     if trials is None:
         trials = Trials()
+    if objective is None and batch_objective is None:
+        raise ValueError("provide objective or batch_objective")
 
     continuous = {
         k: d for k, d in space.items() if isinstance(d, (Uniform, LogUniform, QUniform))
     }
     choices = {k: d for k, d in space.items() if isinstance(d, Choice)}
 
-    def evaluate(params):
-        out = objective(params)
+    def record(params, out):
         loss = out["loss"] if isinstance(out, dict) else float(out)
         extra = out if isinstance(out, dict) else {}
         trials.append(Trial(params=params, loss=float(loss), extra=extra))
 
-    while len(trials) < max_evals:
+    def propose_one(take: int = 1) -> list[dict]:
+        """TPE proposal; returns the ``take`` best-scoring distinct candidates."""
         if len(trials) < n_startup or not continuous:
-            params = {k: d.sample(rng) for k, d in space.items()}
-        else:
-            obs = sorted(trials.trials, key=lambda t: t.loss)
-            n_good = max(1, int(math.ceil(gamma * len(obs))))
-            good, bad = obs[:n_good], obs[n_good:]
-            params = {}
-            for k, d in continuous.items():
-                gu = np.asarray([d.to_unit(t.params[k]) for t in good])
-                bu = np.asarray([d.to_unit(t.params[k]) for t in bad])
-                bw = max(1.0 / max(len(gu), 1) ** 0.5 * 0.5, 0.05)
-                cand_u = np.clip(
-                    rng.normal(
-                        gu[rng.integers(len(gu), size=n_candidates)], bw
-                    ),
-                    0.0,
-                    1.0,
-                )
-                scores = [
-                    _parzen_logpdf(u, gu, bw) - _parzen_logpdf(u, bu, bw)
-                    for u in cand_u
-                ]
-                params[k] = d.finalize(d.from_unit(float(cand_u[int(np.argmax(scores))])))
+            return [
+                {k: d.sample(rng) for k, d in space.items()} for _ in range(take)
+            ]
+        obs = sorted(trials.trials, key=lambda t: t.loss)
+        n_good = max(1, int(math.ceil(gamma * len(obs))))
+        good, bad = obs[:n_good], obs[n_good:]
+        per_key: dict[str, list[float]] = {}
+        for k, d in continuous.items():
+            gu = np.asarray([d.to_unit(t.params[k]) for t in good])
+            bu = np.asarray([d.to_unit(t.params[k]) for t in bad])
+            bw = max(1.0 / max(len(gu), 1) ** 0.5 * 0.5, 0.05)
+            cand_u = np.clip(
+                rng.normal(gu[rng.integers(len(gu), size=n_candidates)], bw),
+                0.0,
+                1.0,
+            )
+            scores = np.asarray(
+                [_parzen_logpdf(u, gu, bw) - _parzen_logpdf(u, bu, bw) for u in cand_u]
+            )
+            order = np.argsort(-scores)[:take]
+            per_key[k] = [d.finalize(d.from_unit(float(cand_u[i]))) for i in order]
+        out = []
+        for i in range(take):
+            p = {k: vals[min(i, len(vals) - 1)] for k, vals in per_key.items()}
             for k, d in choices.items():
-                params[k] = d.sample(rng)
-        evaluate(params)
+                p[k] = d.sample(rng)
+            out.append(p)
+        return out
+
+    while len(trials) < max_evals:
+        take = min(batch_size, max_evals - len(trials))
+        batch = propose_one(take)
+        if batch_objective is not None:
+            results = batch_objective(batch)
+            for p, r in zip(batch, results):
+                record(p, r)
+        else:
+            for p in batch:
+                record(p, objective(p))
 
     return dict(trials.best.params), trials

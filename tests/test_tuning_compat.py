@@ -157,3 +157,75 @@ class TestCompat:
         )
         assert "loss" in out and out["status"] == "ok"
         assert out["loss"] < 0  # improvement => negative loss
+
+
+class TestBatchedTrials:
+    """fmin(batch_size=...) + make_batched_cell_objective: C TPE candidates
+    evaluated as one batched TPU run."""
+
+    def test_fmin_batch_quadratic(self):
+        from pnp_svrg_tpu.tuning import fmin, Uniform
+
+        calls = []
+
+        def batch_obj(params_list):
+            calls.append(len(params_list))
+            return [(p["x"] - 0.3) ** 2 for p in params_list]
+
+        best, trials = fmin(
+            None, {"x": Uniform(0, 1)}, max_evals=24, seed=0,
+            batch_size=4, batch_objective=batch_obj,
+        )
+        assert len(trials) == 24
+        assert max(calls) <= 4 and sum(calls) == 24
+        assert abs(best["x"] - 0.3) < 0.15
+
+    def test_batched_cell_matches_sequential(self, key=None):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from pnp_svrg_tpu.denoisers import TVDenoiser
+        from pnp_svrg_tpu.problems import make_csmri
+        from pnp_svrg_tpu.tuning.sweep import (
+            make_batched_cell_objective,
+            make_cell_objective,
+        )
+
+        xx, yy = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 16))
+        img = jnp.asarray(np.sin(4 * xx) * np.cos(3 * yy) * 0.4 + 0.5, jnp.float32)
+        prob = make_csmri(jax.random.PRNGKey(0), img, sample_prob=0.5, snr=10)
+        factory = lambda d: TVDenoiser(sigma_modifier=d)
+        # GD is deterministic, so per-lane batched evaluation must match the
+        # sequential objective exactly (stochastic algos draw per-lane
+        # minibatch keys and only agree in distribution).
+        params = [
+            {"eta": 50.0, "dstrength": 0.7},
+            {"eta": 120.0, "dstrength": 1.1},
+        ]
+        batched = make_batched_cell_objective("gd", prob, factory, n_iters=8)
+        seq = make_cell_objective("gd", prob, factory, n_iters=8)
+        outs_b = batched(params)
+        outs_s = [seq(p) for p in params]
+        for b, s in zip(outs_b, outs_s):
+            np.testing.assert_allclose(b["loss"], s["loss"], atol=1e-3)
+
+    def test_sweep_grid_trial_batch(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from pnp_svrg_tpu.denoisers import TVDenoiser
+        from pnp_svrg_tpu.problems import make_csmri
+        from pnp_svrg_tpu.tuning.sweep import sweep_grid
+
+        xx, yy = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 16))
+        img = jnp.asarray(np.sin(4 * xx) * np.cos(3 * yy) * 0.4 + 0.5, jnp.float32)
+        prob = make_csmri(jax.random.PRNGKey(0), img, sample_prob=0.5, snr=10)
+        cells = [{
+            "problem": prob, "algo": "gd",
+            "denoiser_factory": lambda d: TVDenoiser(sigma_modifier=d),
+            "problem_name": "csmri", "denoiser_name": "tv",
+            "image": "synthetic", "ratio": 0.5, "snr": 10.0,
+        }]
+        res = sweep_grid(cells, max_evals=8, n_iters=5, trial_batch=4,
+                         csv_path=tmp_path / "b.csv", verbose=False)
+        assert len(res) == 1 and np.isfinite(res[0].best_loss)
