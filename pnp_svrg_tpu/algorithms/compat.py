@@ -63,8 +63,15 @@ def _run_wallclock(
     diverge_check: bool,
     outer_snapshot=None,
     t2: int | None = None,
+    max_iters: int | None = None,
 ):
-    """Shared wall-clock loop skeleton (reference pnp_gd.py:8-84 layout)."""
+    """Shared wall-clock loop skeleton (reference pnp_gd.py:8-84 layout).
+
+    ``max_iters`` optionally caps the number of *inner* gradient+denoise
+    steps (svrg/sarah run ``max_iters / t2`` outer cycles) — the
+    iteration-budget mode used to compare this API against the scan loops at
+    matched counts; the reference's budget is wall-clock only.
+    """
     denoise_step, psnr = _split_timed(problem, denoiser)
     z = jnp.asarray(problem.x_init).ravel()
     time_per_iter = [0.0]
@@ -73,19 +80,31 @@ def _run_wallclock(
     denoise_time = 0.0
     t = 0
     i = 0
+    inner_done = 0
     elapsed = time.time()
+
+    def budget_left():
+        if max_iters is not None and inner_done >= max_iters:
+            return False
+        return (time.time() - elapsed) < tt
+
     break_out = False
-    while (time.time() - elapsed) < tt and not break_out:
+    while budget_left() and not break_out:
         snap_state = None
         if outer_snapshot is not None:
             t0 = time.time()
-            snap_state = outer_snapshot(z)
-            jax.block_until_ready(snap_state)
+            # May advance z (SARAH continues from the denoised step-1 point
+            # in canonical mode, matching loops.pnp_sarah), consume a
+            # denoiser call count, and choose what the snapshot log entry
+            # records (SARAH logs the step-1 point even in faithful mode,
+            # where z itself stays put).
+            z, snap_state, t, log_psnr = outer_snapshot(z, t)
+            jax.block_until_ready(z)
             time_per_iter.append(time.time() - t0)
-            psnr_per_iter.append(_round2(psnr(z)))
+            psnr_per_iter.append(_round2(log_psnr))
         inner_iters = t2 if t2 is not None else 1
         for _ in range(inner_iters):
-            if (time.time() - elapsed) >= tt:
+            if not budget_left():
                 break
             start_psnr = psnr_per_iter[-1]
             g0 = time.time()
@@ -100,6 +119,7 @@ def _run_wallclock(
             jax.block_until_ready(z)
             d1 = time.time()
             denoise_time += d1 - d0
+            inner_done += 1
             time_per_iter.append((g1 - g0) + (d1 - d0))
             psnr_per_iter.append(_round2(psnr(z)))
             if converge_check and abs(start_psnr - psnr_per_iter[-1]) < TOL:
@@ -128,6 +148,7 @@ def pnp_gd(
     lr_decay: float = 1.0,
     converge_check: bool = True,
     diverge_check: bool = False,
+    max_iters: int | None = None,
 ) -> dict[str, Any]:
     grad_full = jax.jit(lambda z: problem.grad_full(z))
 
@@ -136,7 +157,7 @@ def pnp_gd(
 
     return _run_wallclock(
         problem, denoiser, tt, grad_fn, "PnP GD", eta, lr_decay,
-        converge_check, diverge_check,
+        converge_check, diverge_check, max_iters=max_iters,
     )
 
 
@@ -151,6 +172,7 @@ def pnp_sgd(
     converge_check: bool = True,
     diverge_check: bool = False,
     seed: int = 0,
+    max_iters: int | None = None,
 ) -> dict[str, Any]:
     keys = _KeyStream(seed)
 
@@ -164,7 +186,7 @@ def pnp_sgd(
 
     return _run_wallclock(
         problem, denoiser, tt, grad_fn, "PnP SGD", eta, lr_decay,
-        converge_check, diverge_check,
+        converge_check, diverge_check, max_iters=max_iters,
     )
 
 
@@ -181,9 +203,11 @@ def pnp_svrg(
     diverge_check: bool = False,
     variant: str = "svrg",
     seed: int = 0,
+    max_iters: int | None = None,
 ) -> dict[str, Any]:
     keys = _KeyStream(seed)
     grad_full = jax.jit(lambda z: problem.grad_full(z).ravel())
+    _, psnr_fn = _split_timed(problem, denoiser)
 
     @jax.jit
     def cv_step(z, w, mu, key):
@@ -192,8 +216,8 @@ def pnp_svrg(
             problem.grad_stoch(z, mb).ravel() - problem.grad_stoch(w, mb).ravel()
         ) / mini_batch_size + mu
 
-    def outer_snapshot(z):
-        return (z, grad_full(z))
+    def outer_snapshot(z, t):
+        return z, (z, grad_full(z)), t, psnr_fn(z)
 
     def grad_fn(z, i, snap):
         w, mu = snap
@@ -204,6 +228,7 @@ def pnp_svrg(
     return _run_wallclock(
         problem, denoiser, tt, grad_fn, "PnP SVRG", eta, lr_decay,
         converge_check, diverge_check, outer_snapshot=outer_snapshot, t2=T2,
+        max_iters=max_iters,
     )
 
 
@@ -219,25 +244,31 @@ def pnp_saga(
     converge_check: bool = True,
     diverge_check: bool = False,
     seed: int = 0,
+    max_iters: int | None = None,
 ) -> dict[str, Any]:
-    keys = _KeyStream(seed)
+    # Key stream mirrors loops.pnp_saga exactly (one 2-way split for the
+    # init gradient, then a 3-way split per iteration with the slot drawn
+    # from the third key) so the two APIs produce identical trajectories at
+    # matched iteration counts.
+    key0, k_init = jax.random.split(jax.random.PRNGKey(seed))
 
     @jax.jit
     def stoch(z, key):
         mb = problem.select_mb(key, mini_batch_size)
         return problem.grad_stoch(z, mb).ravel() / mini_batch_size
 
-    g0 = stoch(jnp.asarray(problem.x_init).ravel(), keys())
+    g0 = stoch(jnp.asarray(problem.x_init).ravel(), k_init)
     state = {
         "table": jnp.tile(g0[None, :], (hist_size, 1)),
         "tsum": g0 * hist_size,
         "prev": g0,
+        "key": key0,
     }
-    rng = np.random.default_rng(seed + 1)
 
     def grad_fn(z, i, _):
-        slot = int(rng.integers(hist_size))
-        g = stoch(z, keys())
+        state["key"], k_mb, k_slot = jax.random.split(state["key"], 3)
+        slot = int(jax.random.randint(k_slot, (), 0, hist_size))
+        g = stoch(z, k_mb)
         old = state["table"][slot]
         state["table"] = state["table"].at[slot].set(g)
         state["tsum"] = state["tsum"] + g - old
@@ -247,7 +278,7 @@ def pnp_saga(
 
     return _run_wallclock(
         problem, denoiser, tt, grad_fn, "PnP SAGA", eta, lr_decay,
-        converge_check, diverge_check,
+        converge_check, diverge_check, max_iters=max_iters,
     )
 
 
@@ -264,10 +295,11 @@ def pnp_sarah(
     diverge_check: bool = False,
     variant: str = "sarah",
     seed: int = 0,
+    max_iters: int | None = None,
 ) -> dict[str, Any]:
     keys = _KeyStream(seed)
     grad_full = jax.jit(lambda z: problem.grad_full(z).ravel())
-    denoise_step, _ = _split_timed(problem, denoiser)
+    denoise_step, psnr_fn = _split_timed(problem, denoiser)
 
     @jax.jit
     def diff_step(anchor, w_prev, v_prev, key):
@@ -279,15 +311,28 @@ def pnp_sarah(
 
     state = {}
 
-    def outer_snapshot(z):
+    def outer_snapshot(z, t):
         v_prev = grad_full(z)
-        w1 = denoise_step(z - eta * v_prev, 1)
-        state.update(w_prev=z, v_prev=v_prev, w_fix=w1, z_curr=z)
-        return w1
+        # Step-1 point: one full-gradient step, denoised (pnp_sarah.py:36-48).
+        w1 = denoise_step(z - eta * v_prev, t + 1)
+        state.update(w_prev=z, v_prev=v_prev, w_fix=w1)
+        # Canonical mode continues from the denoised step-1 point (matches
+        # loops.pnp_sarah); faithful keeps z at the outer-start point, with
+        # w1 only serving as the frozen recursion anchor (pnp_sarah.py:72).
+        z_next = z if variant == "faithful" else w1
+        return z_next, w1, t + 1, psnr_fn(w1)
 
     def grad_fn(z, i, snap):
-        anchor = state["w_fix"] if variant == "faithful" else z
-        v = diff_step(anchor, state["w_prev"], state["v_prev"], keys())
+        if variant == "faithful":
+            # Reference recursion: anchor frozen at the step-1 point,
+            # w_previous = the latest denoised iterate, i.e. the incoming z
+            # (pnp_sarah.py:97-98).
+            anchor, w_prev = state["w_fix"], z
+        else:
+            # Canonical SARAH: differences between the two most recent
+            # iterates.
+            anchor, w_prev = z, state["w_prev"]
+        v = diff_step(anchor, w_prev, state["v_prev"], keys())
         state["v_prev"] = v
         state["w_prev"] = z
         return v, snap
@@ -295,6 +340,7 @@ def pnp_sarah(
     return _run_wallclock(
         problem, denoiser, tt, grad_fn, "PnP SARAH", eta, lr_decay,
         converge_check, diverge_check, outer_snapshot=outer_snapshot, t2=T2,
+        max_iters=max_iters,
     )
 
 

@@ -153,12 +153,12 @@ def pnp_gd(
             done, start_psnr, psnr_after, converge_check, diverge_check
         )
         z = jnp.where(done[..., None] if done.ndim else done, z, z_new)
-        t = jnp.where(jnp.all(done), t, t + 1)
+        t = jnp.where(done, t, t + 1)  # per-lane counter (pnp_gd.py's self.t)
         log = IterLog(jnp.where(done, start_psnr, psnr_after), psnr_mid, sig)
         return (z, t, done_new), log
 
     done0 = jnp.zeros(z0.shape[:-1], bool)
-    init = (z0, jnp.asarray(0, jnp.int32), done0)
+    init = (z0, jnp.zeros(done0.shape, jnp.int32), done0)
     (z, _, _), logs = jax.lax.scan(
         body, init, jnp.arange(n_iters, dtype=jnp.float32)
     )
@@ -210,12 +210,12 @@ def pnp_sgd(
             done, start_psnr, psnr_after, converge_check, diverge_check
         )
         z = jnp.where(done[..., None] if done.ndim else done, z, z_new)
-        t = jnp.where(jnp.all(done), t, t + 1)
+        t = jnp.where(done, t, t + 1)  # per-lane counter (pnp_sgd.py's self.t)
         log = IterLog(jnp.where(done, start_psnr, psnr_after), psnr_mid, sig)
         return (z, t, done_new, k), log
 
     done0 = jnp.zeros(z0.shape[:-1], bool)
-    init = (z0, jnp.asarray(0, jnp.int32), done0, key)
+    init = (z0, jnp.zeros(done0.shape, jnp.int32), done0, key)
     (z, _, _, _), logs = jax.lax.scan(
         body, init, jnp.arange(n_iters, dtype=jnp.float32)
     )
@@ -283,7 +283,7 @@ def pnp_svrg(
             done, start_psnr, psnr_after, converge_check, diverge_check
         )
         z = jnp.where(done[..., None] if done.ndim else done, z, z_new)
-        t = jnp.where(jnp.all(done), t, t + 1)
+        t = jnp.where(done, t, t + 1)  # per-lane counter (pnp_svrg.py's self.t)
         log = IterLog(jnp.where(done, start_psnr, psnr_after), psnr_mid, sig)
         return (z, w, mu, t, done_new, k, i), log
 
@@ -298,7 +298,7 @@ def pnp_svrg(
         return (z, t, done, k), (snap_psnr, logs)
 
     done0 = jnp.zeros(z0.shape[:-1], bool)
-    init = (z0, jnp.asarray(0, jnp.int32), done0, key)
+    init = (z0, jnp.zeros(done0.shape, jnp.int32), done0, key)
     (z, _, _, _), (snap_psnrs, logs) = jax.lax.scan(
         outer_body, init, jnp.arange(n_outer, dtype=jnp.float32)
     )
@@ -372,7 +372,7 @@ def pnp_saga(
         dm = done[..., None] if done.ndim else done
         dm_table = dm[None] if done.ndim else done
         z = jnp.where(dm, z, z_new)
-        t = jnp.where(jnp.all(done), t, t + 1)
+        t = jnp.where(done, t, t + 1)  # per-lane counter (pnp_saga.py's self.t)
         table = jnp.where(dm_table, table, table_new)
         tsum = jnp.where(dm, tsum, tsum_new)
         prev = jnp.where(dm, prev, g)  # prev <- fresh slot value (pnp_saga.py:72)
@@ -380,7 +380,7 @@ def pnp_saga(
         return (z, t, done_new, k, table, tsum, prev), log
 
     done0 = jnp.zeros(z0.shape[:-1], bool)
-    init = (z0, jnp.asarray(0, jnp.int32), done0, key, table0, tsum0, g0)
+    init = (z0, jnp.zeros(done0.shape, jnp.int32), done0, key, table0, tsum0, g0)
     (z, _, _, _, _, _, _), logs = jax.lax.scan(
         body, init, jnp.arange(n_iters, dtype=jnp.float32)
     )
@@ -448,9 +448,14 @@ def pnp_sarah(
         done_new = _check_done(
             done, start_psnr, psnr_after, converge_check, diverge_check
         )
-        w_prev_new = z_new  # reference: w_previous <- denoised iterate (:98)
+        # faithful: w_previous <- the denoised iterate, which is exactly the
+        # next step's z (reference pnp_sarah.py:97-98). Canonical SARAH takes
+        # differences between the two most recent iterates, so w_previous
+        # must be THIS step's incoming z — using z_new would make anchor and
+        # w_prev coincide at the next step and zero out the recursion.
+        w_prev_new = z_new if variant == "faithful" else z
         z = jnp.where(done[..., None] if done.ndim else done, z, z_new)
-        t = jnp.where(jnp.all(done), t, t + 1)
+        t = jnp.where(done, t, t + 1)  # per-lane counter (pnp_sarah.py's self.t)
         w_prev = _latch(done, w_prev, w_prev_new)
         v_prev = _latch(done, v_prev, v_next)
         log = IterLog(jnp.where(done, start_psnr, psnr_after), psnr_mid, sig)
@@ -462,7 +467,7 @@ def pnp_sarah(
         v_prev = problem.grad_full(z).reshape(z.shape)
         # "Step 1" point: single full-gradient step, denoised (:36-48).
         w1, psnr1, _, _ = _denoise_step(problem, denoiser, z, v_prev, eta, t + 1)
-        t = jnp.where(jnp.all(done), t, t + 1)
+        t = jnp.where(done, t, t + 1)  # per-lane counter
         w1 = jnp.where(done[..., None] if done.ndim else done, z, w1)
         if variant == "faithful":
             # Reference keeps z at the outer-start point for the first inner
@@ -477,7 +482,7 @@ def pnp_sarah(
         return (z, t, done, k), (psnr1, logs)
 
     done0 = jnp.zeros(z0.shape[:-1], bool)
-    init = (z0, jnp.asarray(0, jnp.int32), done0, key)
+    init = (z0, jnp.zeros(done0.shape, jnp.int32), done0, key)
     (z, _, _, _), (step1_psnrs, logs) = jax.lax.scan(
         outer_body, init, jnp.arange(n_outer, dtype=jnp.float32)
     )
