@@ -70,6 +70,16 @@ class BatchedProblem:
         keys = jax.random.split(key, self.batch_size)
         return jax.vmap(lambda p, kk: p.select_mb(kk, k))(self.problems, keys)
 
+    def full_mb(self):
+        """Per-lane all-measurements minibatch (stacked on the batch axis)."""
+        return jax.vmap(lambda p: p.full_mb())(self.problems)
+
+    def m_total(self) -> jnp.ndarray:
+        """(B,) float normalizers: grad_stoch(z, full_mb()) / m_total == grad_full."""
+        return jax.vmap(
+            lambda p: jnp.asarray(p.m_total(), jnp.float32)
+        )(self.problems)
+
 
 jax.tree_util.register_pytree_node(
     BatchedProblem,

@@ -27,6 +27,12 @@ from pnp_svrg_tpu.parallel.sharded import (
     pr_grad_full_sharded,
     sharded_pnp_step,
 )
+from pnp_svrg_tpu.parallel.meas import (
+    split_meas,
+    MeasShardedBatched,
+    run_batch_meas_sharded,
+    run_batch_meas_emulated,
+)
 from pnp_svrg_tpu.parallel.spatial import (
     denoise_spatial,
     nlm_denoise_spatial,
@@ -45,6 +51,10 @@ __all__ = [
     "shard_pr_problem",
     "pr_grad_full_sharded",
     "sharded_pnp_step",
+    "split_meas",
+    "MeasShardedBatched",
+    "run_batch_meas_sharded",
+    "run_batch_meas_emulated",
     "denoise_spatial",
     "nlm_denoise_spatial",
     "bm3d_denoise_spatial",

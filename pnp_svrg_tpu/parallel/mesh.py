@@ -66,11 +66,7 @@ def make_mesh(
         devices = jax.devices()
     n = len(devices)
     if shape is None:
-        meas = 1
-        batch = n
-        # Prefer meas = 2 when the device count allows an even split and
-        # measurement sharding is requested implicitly by a non-square count.
-        shape = (batch, meas)
+        shape = (n, 1)  # default: pure data parallel (images dominate)
     b, m = shape
     if b * m != n:
         raise ValueError(f"mesh shape {shape} != device count {n}")

@@ -18,7 +18,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pnp_svrg_tpu.algorithms.loops import _ALGOS
 from pnp_svrg_tpu.core.batched import BatchedProblem, stack_problems
-from pnp_svrg_tpu.parallel.mesh import BATCH_AXIS
+from pnp_svrg_tpu.parallel.mesh import BATCH_AXIS, MEAS_AXIS
 
 
 def run_batch(
@@ -42,6 +42,15 @@ def run_batch(
     fn = _ALGOS[algo]
     if key is None:
         key = jax.random.PRNGKey(0)
+
+    if mesh is not None and MEAS_AXIS in mesh.shape and mesh.shape[MEAS_AXIS] > 1:
+        # 2-D (batch, meas) mesh: the whole scan loop runs SPMD with psum
+        # gradient reductions over the meas axis (parallel/meas.py).
+        from pnp_svrg_tpu.parallel.meas import run_batch_meas_sharded
+
+        return run_batch_meas_sharded(
+            fn, batched_problem, denoiser, key, mesh, **hp
+        )
 
     if mesh is not None:
         shard = NamedSharding(mesh, P(BATCH_AXIS))

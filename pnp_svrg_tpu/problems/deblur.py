@@ -39,7 +39,10 @@ from pnp_svrg_tpu.ops.sampling import sample_k_mask
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["y", "b", "b_adj", "x", "x_init", "ds_idx", "ds_w", "snr", "sigma"],
+    data_fields=[
+        "y", "b", "b_adj", "x", "x_init", "ds_idx", "ds_w", "allowed",
+        "snr", "sigma",
+    ],
     meta_fields=["h", "w", "lr_h", "lr_w"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +56,9 @@ class Deblur:
     x_init: jnp.ndarray  # float32 (H, W), uniform-random init
     ds_idx: jnp.ndarray  # int32 (M, 4), bilinear gather indices into N
     ds_w: jnp.ndarray  # float32 (M, 4), bilinear gather weights
+    allowed: jnp.ndarray = None  # float32 (M,) 0/1: measurements owned by this
+    # instance. All-ones for a full problem; a measurement-parallel shard
+    # (parallel/meas.py) owns a disjoint block of low-res pixels.
     snr: jnp.ndarray = 0.0
     sigma: jnp.ndarray = 0.0
     h: int = 0
@@ -79,11 +85,11 @@ class Deblur:
         return self._downsample(fft_blur_1d(z, self.b))
 
     def f(self, z: jnp.ndarray) -> jnp.ndarray:
-        r = self.y - self.forward(z)
+        r = self.allowed * (self.y - self.forward(z))
         return jnp.sum(r * r) / (2.0 * self.m)
 
     def grad_full(self, z: jnp.ndarray) -> jnp.ndarray:
-        res = self.forward(z) - self.y
+        res = self.allowed * (self.forward(z) - self.y)
         up = self._upsample_adj(res)
         return fft_blur_1d(up, self.b_adj) / self.m
 
@@ -94,15 +100,15 @@ class Deblur:
         return fft_blur_1d(up, self.b_adj)
 
     def select_mb(self, key: jax.Array, k: int) -> jnp.ndarray:
-        return sample_k_mask(key, (self.m,), k)
+        return sample_k_mask(key, (self.m,), k, allowed=self.allowed)
 
     def full_mb(self) -> jnp.ndarray:
-        """The all-measurements minibatch (every low-res pixel)."""
-        return jnp.ones((self.m,), jnp.float32)
+        """The all-owned-measurements minibatch (every owned low-res pixel)."""
+        return self.allowed
 
-    def m_total(self) -> int:
+    def m_total(self) -> jnp.ndarray:
         """Normalizer turning ``grad_stoch(z, full_mb())`` into ``grad_full``."""
-        return self.m
+        return jnp.sum(self.allowed)
 
     def psnr(self, z: jnp.ndarray) -> jnp.ndarray:
         return psnr(self.x, z.reshape(self.h, self.w))
@@ -172,6 +178,7 @@ def make_deblur(
         x_init=x_init.astype(jnp.float32),
         ds_idx=ds_idx,
         ds_w=ds_w,
+        allowed=jnp.ones((lr_h * lr_w,), jnp.float32),
         snr=jnp.asarray(float(snr_out), jnp.float32),
         sigma=jnp.asarray(float(sig), jnp.float32),
         h=h,
