@@ -1,8 +1,15 @@
 """SNR sweep — the TPU-native rewrite of the reference
 ``script_diff_snr_set12.py``: the phase-retrieval x SVRG x BM3D cell swept
-over a list of measurement SNRs with the reference's tighter search ranges
-(eta in [1e-3, 1e-1], mb in [800, 1200], T2 in [50, 80], hist in [5, 15] —
-reference ``script_diff_snr_set12.py:24-42,83-91``), TPE per cell, CSV out.
+over a list of measurement SNRs, TPE per cell, CSV out.
+
+Search ranges: eta and mb follow the reference's narrowed SNR-sweep space
+(eta in [1e-3, 1e-1], mb in [800, 1200] — ``script_diff_snr_set12.py:
+24-42``); t2 and dstrength are re-tuned for this implementation's
+iteration-budget objective (t2 in [5, 20], dstrength in [0.3, 2.0]) — the
+reference's T2 in [50, 80] is calibrated to its wall-clock budget, where a
+30 s trial runs ~75-100 inner steps, while here the budget is ``--n-iters``
+total steps and T2 > n_iters would collapse every trial to a single outer
+round.
 
 Usage:
     python examples/sweep_snr.py --snrs 10 20 --max-evals 10 --out snr.csv
@@ -45,7 +52,9 @@ def main(argv=None):
     m = int(args.alpha * n)
 
     def space(algo):
-        # Reference's narrowed SNR-sweep ranges (script_diff_snr_set12.py:37-42).
+        # eta/mb: reference's narrowed SNR-sweep ranges
+        # (script_diff_snr_set12.py:37-42); t2/dstrength re-tuned for the
+        # iteration-budget objective (see module docstring).
         s = {"eta": LogUniform(1e-3, 1e-1), "dstrength": Uniform(0.3, 2.0)}
         if algo != "gd":
             s["mini_batch_size"] = QUniform(min(800, m), min(1200, m), 50)

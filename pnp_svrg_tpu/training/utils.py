@@ -37,7 +37,7 @@ def batch_ssim(pred: jnp.ndarray, clean: jnp.ndarray, data_range: float = 1.0):
     return jnp.mean(vals)
 
 
-def l2_reg_normal_ortho(params, key: jax.Array | None = None) -> jnp.ndarray:
+def l2_reg_normal_ortho(params, key: jax.Array) -> jnp.ndarray:
     """Orthogonality regularizer sum_W sigma_max(W^T W - I)^2 over all conv
     kernels in the pytree (reference ``utils.py:110-136``).
 
@@ -45,9 +45,11 @@ def l2_reg_normal_ortho(params, key: jax.Array | None = None) -> jnp.ndarray:
     singular value of ``W^T W - I`` is estimated with one power iteration
     from a fresh Gaussian start, matching the reference's single
     u -> v -> u -> sigma round trip.
+
+    ``key`` is required and must differ per evaluation (fold in the training
+    step), like the reference's per-call ``normal_(0, 1)`` probe — a fixed
+    probe direction would let training hide spectral mass orthogonal to it.
     """
-    if key is None:
-        key = jax.random.PRNGKey(0)
     total = jnp.zeros((), jnp.float32)
     leaves = [l for l in jax.tree_util.tree_leaves(params) if l.ndim >= 2]
     keys = jax.random.split(key, max(len(leaves), 1))

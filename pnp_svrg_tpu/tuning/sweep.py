@@ -196,6 +196,11 @@ def sweep_grid(
         algo = cell["algo"]
         space = cell.get("space") or default_space(algo, problem.m)
         if trial_batch > 1:
+            # jit-static hyperparameters are proposed once per round so each
+            # round of trial_batch candidates runs as ONE compiled program.
+            static = tuple(
+                k for k in ("mini_batch_size", "t2", "hist_size") if k in space
+            )
             best, trials = fmin(
                 None,
                 space,
@@ -206,6 +211,7 @@ def sweep_grid(
                     algo, problem, cell["denoiser_factory"], n_iters=n_iters,
                     seed=cell.get("seed", 0),
                 ),
+                shared_keys=static,
             )
         else:
             objective = make_cell_objective(

@@ -138,6 +138,7 @@ def fmin(
     trials: Trials | None = None,
     batch_size: int = 1,
     batch_objective: Callable[[list[dict]], Sequence[float | dict]] | None = None,
+    shared_keys: Sequence[str] = (),
 ) -> tuple[dict, Trials]:
     """Minimize ``objective(params)`` over ``space``.
 
@@ -150,6 +151,11 @@ def fmin(
     to run them as ONE batched TPU program (see
     ``tuning.sweep.make_batched_cell_objective``); otherwise the plain
     ``objective`` is mapped over the round.
+
+    ``shared_keys``: parameters proposed ONCE per round and shared by every
+    candidate in the round's batch — use for jit-static values
+    (mini_batch_size / t2 / hist_size) so a batched round compiles to a
+    single program instead of one per candidate.
     """
     rng = np.random.default_rng(seed)
     if trials is None:
@@ -168,32 +174,50 @@ def fmin(
         trials.append(Trial(params=params, loss=float(loss), extra=extra))
 
     def propose_one(take: int = 1) -> list[dict]:
-        """TPE proposal; returns the ``take`` best-scoring distinct candidates."""
+        """Joint TPE proposal; returns the ``take`` best-scoring candidates.
+
+        Candidates are whole configurations: each dimension is drawn from its
+        good-set Parzen density and the candidate's score is the *product*
+        density ratio l(x)/g(x) over all dimensions (hyperopt's factorized
+        joint), so correlated optima (e.g. eta x dstrength) are ranked on
+        full configurations rather than assembled per-parameter.
+        """
         if len(trials) < n_startup or not continuous:
+            base = {k: d.sample(rng) for k, d in space.items()}
             return [
-                {k: d.sample(rng) for k, d in space.items()} for _ in range(take)
+                {
+                    k: (base[k] if k in shared_keys else d.sample(rng))
+                    for k, d in space.items()
+                }
+                for _ in range(take)
             ]
         obs = sorted(trials.trials, key=lambda t: t.loss)
         n_good = max(1, int(math.ceil(gamma * len(obs))))
         good, bad = obs[:n_good], obs[n_good:]
-        per_key: dict[str, list[float]] = {}
+        cand_u: dict[str, np.ndarray] = {}
+        joint_scores = np.zeros(n_candidates)
         for k, d in continuous.items():
             gu = np.asarray([d.to_unit(t.params[k]) for t in good])
             bu = np.asarray([d.to_unit(t.params[k]) for t in bad])
             bw = max(1.0 / max(len(gu), 1) ** 0.5 * 0.5, 0.05)
-            cand_u = np.clip(
+            u = np.clip(
                 rng.normal(gu[rng.integers(len(gu), size=n_candidates)], bw),
                 0.0,
                 1.0,
             )
-            scores = np.asarray(
-                [_parzen_logpdf(u, gu, bw) - _parzen_logpdf(u, bu, bw) for u in cand_u]
+            cand_u[k] = u
+            joint_scores += np.asarray(
+                [_parzen_logpdf(ui, gu, bw) - _parzen_logpdf(ui, bu, bw) for ui in u]
             )
-            order = np.argsort(-scores)[:take]
-            per_key[k] = [d.finalize(d.from_unit(float(cand_u[i]))) for i in order]
+        order = np.argsort(-joint_scores)[:take]
         out = []
-        for i in range(take):
-            p = {k: vals[min(i, len(vals) - 1)] for k, vals in per_key.items()}
+        for rank, i in enumerate(order):
+            p = {}
+            for k, d in continuous.items():
+                # Shared (jit-static) keys take the round winner's value so
+                # the batch compiles to one program.
+                src = order[0] if k in shared_keys else i
+                p[k] = d.finalize(d.from_unit(float(cand_u[k][src])))
             for k, d in choices.items():
                 p[k] = d.sample(rng)
             out.append(p)

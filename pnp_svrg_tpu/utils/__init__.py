@@ -11,7 +11,7 @@ from pnp_svrg_tpu.utils.config import (
     SweepConfig,
 )
 from pnp_svrg_tpu.utils.log import set_logger
-from pnp_svrg_tpu.utils.profiling import trace, annotate, PhaseTimers
+from pnp_svrg_tpu.utils.profiling import trace, annotate, PhaseTimers, scalar_fence
 
 __all__ = [
     "load_image",
@@ -28,4 +28,5 @@ __all__ = [
     "trace",
     "annotate",
     "PhaseTimers",
+    "scalar_fence",
 ]

@@ -9,9 +9,10 @@ keys) and adds proper device-side tracing:
 * :func:`trace` — context manager around ``jax.profiler`` producing a
   TensorBoard-loadable trace directory (XLA op-level timeline, HBM usage).
 * :func:`annotate` — named trace region, visible in the profiler timeline.
-* :class:`PhaseTimers` — host-side named accumulators with
-  ``block_until_ready`` fencing, for the gradient-vs-denoise split on paths
-  that don't go through ``algorithms.compat``.
+* :class:`PhaseTimers` — host-side named accumulators with a scalar-readback
+  fence (default; ``block_until_ready`` is unreliable over the axon PJRT
+  tunnel), for the gradient-vs-denoise split on paths that don't go through
+  ``algorithms.compat``.
 """
 
 from __future__ import annotations
@@ -38,29 +39,56 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def scalar_fence(tree) -> None:
+    """Synchronize by reading ONE scalar from each array back to the host.
+
+    ``jax.block_until_ready`` does not reliably block on some PJRT transports
+    (notably the axon TPU tunnel this project benches over — see CLAUDE.md
+    "Measuring performance"), so the trustworthy fence is a host readback of
+    a scalar: it forces the producing computation to finish without
+    transferring the full buffer.
+    """
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "reshape") and getattr(leaf, "size", 0):
+            float(jax.numpy.real(leaf.reshape(-1)[0]))
+
+
 class PhaseTimers:
-    """Named wall-clock accumulators fenced with ``block_until_ready``.
+    """Named wall-clock accumulators with a device-synchronizing fence.
 
     >>> timers = PhaseTimers()
-    >>> with timers.phase("gradient"):
+    >>> with timers.phase("gradient", fence=lambda: v):
     ...     v = grad(z)
     >>> timers.totals()["gradient"]
     """
 
-    def __init__(self):
+    def __init__(self, fence_mode: str = "scalar"):
+        """``fence_mode``: "scalar" (default — host readback of one element
+        per fenced array, the only fence that reliably blocks over the axon
+        PJRT tunnel) or "block" (``jax.block_until_ready``, cheapest on
+        backends where it works)."""
+        if fence_mode not in ("scalar", "block"):
+            raise ValueError(f"unknown fence_mode {fence_mode!r}")
+        self._fence_mode = fence_mode
         self._totals: dict[str, float] = defaultdict(float)
         self._counts: dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
     def phase(self, name: str, fence=None):
-        """Time a phase; ``fence`` (a pytree of arrays) is blocked on before
-        the clock stops so async dispatch doesn't under-count."""
+        """Time a phase; ``fence`` (a pytree of arrays, or a zero-arg callable
+        returning one — use a callable when the arrays are produced inside
+        the block) is synchronized before the clock stops so async dispatch
+        doesn't under-count."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
             if fence is not None:
-                jax.block_until_ready(fence)
+                tree = fence() if callable(fence) else fence
+                if self._fence_mode == "scalar":
+                    scalar_fence(tree)
+                else:
+                    jax.block_until_ready(tree)
             self._totals[name] += time.perf_counter() - t0
             self._counts[name] += 1
 

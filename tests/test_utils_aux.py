@@ -151,13 +151,19 @@ class TestTrainingUtils:
         rand = {"dense": jnp.asarray(
             np.random.default_rng(2).standard_normal((64, 8)), jnp.float32
         )}
-        assert float(l2_reg_normal_ortho(ortho)) < 1e-6
-        assert float(l2_reg_normal_ortho(rand)) > 1e-2
+        import jax
+
+        k = jax.random.PRNGKey(0)
+        assert float(l2_reg_normal_ortho(ortho, k)) < 1e-6
+        assert float(l2_reg_normal_ortho(rand, k)) > 1e-2
+        # a fresh probe key must give a fresh (but similar-scale) estimate
+        k2 = jax.random.fold_in(k, 1)
+        assert float(l2_reg_normal_ortho(rand, k2)) > 1e-2
         # conv-kernel (4-D) leaves take the flax (kh, kw, c_in, c_out) layout
         conv = {"conv": jnp.asarray(
             np.random.default_rng(3).standard_normal((3, 3, 4, 8)), jnp.float32
         )}
-        assert float(l2_reg_normal_ortho(conv)) > 0.0
+        assert float(l2_reg_normal_ortho(conv, jax.random.PRNGKey(2))) > 0.0
 
     def test_ortho_decay_schedule(self):
         assert adjust_ortho_decay_rate(5, 1.0) == 1.0
