@@ -113,16 +113,35 @@ def make_csmri(
     sample_prob: float = 0.5,
     snr: float | None = None,
     sigma: float | None = None,
+    keep_low_freq: int = 0,
 ) -> CSMRI:
     """Construct a CSMRI instance from a [0,1] grayscale image array.
 
     Mirrors the reference constructor semantics (``CSMRI.py:12-41``): Bernoulli
     mask, noisy masked spectrum, zero-filled init, reference SNR formula.
+
+    ``keep_low_freq``: optional variable-density extension — guarantee the
+    lowest ``k`` x ``k`` frequency block (indices in (-k, k) per axis) is
+    sampled. The reference's uniform Bernoulli mask (``CSMRI.py:43-45``)
+    leaves the DC/low-frequency coefficients present only by coin flip, and a
+    missing DC makes the image mean *unidentifiable* (the measurements carry
+    no information about it), capping bright images at single-digit PSNR
+    regardless of algorithm. Standard CS-MRI protocols always sample the
+    low-frequency band; 0 (default) reproduces the reference exactly.
     """
     x = jnp.asarray(image, jnp.float32)
     h, w = x.shape
     k_mask, k_noise = jax.random.split(key)
     mask = jax.random.bernoulli(k_mask, sample_prob, (h, w)).astype(jnp.float32)
+    if keep_low_freq:
+        k = int(keep_low_freq)
+
+        def low_idx(n):
+            if k <= 1:
+                return jnp.arange(1)
+            return jnp.concatenate([jnp.arange(k), jnp.arange(n - k + 1, n)])
+
+        mask = mask.at[jnp.ix_(low_idx(h), low_idx(w))].set(1.0)
     y0 = mask * jnp.fft.fft2(x)
     snr_out, sig = resolve_noise(y0, h, w, snr, sigma)
     noise = sig * jax.random.normal(k_noise, (h, w))

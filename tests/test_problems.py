@@ -186,3 +186,55 @@ class TestSampling:
             counts[np.asarray(idx)] += 1
         freq = counts / counts.sum()
         assert freq.max() < 0.10 and freq.min() > 0.02
+
+
+class TestKeepLowFreq:
+    def test_low_freq_block_guaranteed(self):
+        import jax, jax.numpy as jnp
+        from pnp_svrg_tpu.problems import make_csmri
+
+        img = jnp.asarray(np.random.default_rng(0).uniform(size=(16, 16)), jnp.float32)
+        # keep=0 reproduces the plain Bernoulli mask exactly
+        p0 = make_csmri(jax.random.PRNGKey(3), img, sample_prob=0.3, snr=10)
+        pk = make_csmri(jax.random.PRNGKey(3), img, sample_prob=0.3, snr=10,
+                        keep_low_freq=3)
+        m0, mk = np.asarray(p0.mask), np.asarray(pk.mask)
+        idx = np.r_[0:3, 16 - 2: 16]
+        assert (mk[np.ix_(idx, idx)] == 1.0).all()
+        # outside the low-frequency block the Bernoulli draw is untouched
+        outside = np.ones((16, 16), bool)
+        outside[np.ix_(idx, idx)] = False
+        np.testing.assert_array_equal(mk[outside], m0[outside])
+        assert float(pk.m0) == mk.sum()
+
+    def test_dc_only(self):
+        import jax, jax.numpy as jnp
+        from pnp_svrg_tpu.problems import make_csmri
+
+        img = jnp.asarray(np.random.default_rng(1).uniform(size=(8, 8)), jnp.float32)
+        pk = make_csmri(jax.random.PRNGKey(0), img, sample_prob=0.1, snr=10,
+                        keep_low_freq=1)
+        assert float(pk.mask[0, 0]) == 1.0
+
+
+class TestKernelFromImage:
+    def test_load_kernel_image_and_make_deblur(self):
+        import jax, jax.numpy as jnp
+        from pnp_svrg_tpu.problems import make_deblur
+        from pnp_svrg_tpu.problems.deblur import load_kernel_image
+        from pnp_svrg_tpu.utils.io import resolve_data_path
+
+        path = str(resolve_data_path("kernel25.png"))
+        kern = load_kernel_image(path, 16, 16)
+        assert kern.shape == (16, 16)
+        assert kern.max() > 1.0  # raw PIL pixel values (reference DeblurSR.py:75)
+
+        img = jnp.asarray(np.random.default_rng(0).uniform(size=(16, 16)), jnp.float32)
+        prob = make_deblur(jax.random.PRNGKey(0), img, kernel=path, snr=5)
+        # the stored kernel is ravel()/N of the raw values (DeblurSR.py:93)
+        np.testing.assert_allclose(
+            np.asarray(prob.b), kern.ravel() / 256.0, rtol=1e-6
+        )
+        # the forward model stays finite and the gradients check out
+        g = np.asarray(prob.grad_full(prob.x_init))
+        assert np.isfinite(g).all()
