@@ -131,6 +131,20 @@ def make_identity_kernel(h: int, w: int) -> np.ndarray:
     return b
 
 
+def load_kernel_image(path, h: int, w: int) -> np.ndarray:
+    """Blur kernel from an image file, resized to (H, W) — the reference's
+    kernel_path branch (``DeblurSR.py:72-75``): raw PIL pixel values (uint8
+    scale, NOT normalized to [0,1]); the 1/N scaling happens in
+    :func:`make_deblur` like the reference's ``B.ravel() / N``. Use with the
+    shipped ``data/kernel.png`` / ``data/kernel25.png`` assets."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode != "L":
+        img = img.convert("L")
+    return np.asarray(img.resize((w, h)), np.float32)
+
+
 def make_deblur(
     key: jax.Array,
     image: jnp.ndarray,
@@ -141,9 +155,10 @@ def make_deblur(
 ) -> Deblur:
     """Construct a Deblur/SR instance.
 
-    ``kernel`` may be an (H, W) array, or "Minimal"/"Identity" to use the
-    reference's built-ins. The kernel is raveled and scaled by 1/N (reference
-    ``DeblurSR.py:93``).
+    ``kernel`` may be an (H, W) array, "Minimal"/"Identity" for the
+    reference's built-ins, or a path to a kernel image (e.g.
+    ``data/kernel25.png`` — reference ``DeblurSR.py:72-75``). The kernel is
+    raveled and scaled by 1/N (reference ``DeblurSR.py:93``).
     """
     x = jnp.asarray(image, jnp.float32)
     h, w = x.shape
@@ -153,6 +168,8 @@ def make_deblur(
             kern = make_minimal_kernel(h, w)
         elif kernel == "Identity":
             kern = make_identity_kernel(h, w)
+        elif kernel.endswith((".png", ".jpg", ".jpeg")):
+            kern = load_kernel_image(kernel, h, w)
         else:
             raise ValueError(f"unknown built-in kernel {kernel!r}")
     else:

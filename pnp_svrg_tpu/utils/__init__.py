@@ -11,6 +11,14 @@ from pnp_svrg_tpu.utils.config import (
     SweepConfig,
 )
 from pnp_svrg_tpu.utils.log import set_logger
+from pnp_svrg_tpu.utils.viz import (
+    display_results,
+    show_grid,
+    gif,
+    reconstruct_rgb,
+    summarize_results,
+    write_metrics_csv,
+)
 from pnp_svrg_tpu.utils.profiling import trace, annotate, PhaseTimers, scalar_fence
 
 __all__ = [
@@ -25,6 +33,12 @@ __all__ = [
     "MeshConfig",
     "SweepConfig",
     "set_logger",
+    "display_results",
+    "show_grid",
+    "gif",
+    "reconstruct_rgb",
+    "summarize_results",
+    "write_metrics_csv",
     "trace",
     "annotate",
     "PhaseTimers",

@@ -114,3 +114,102 @@ def show_grid(images, titles=None, ncols=4, color_map="gray", show=False):
     if show:
         plt.show()
     return fig
+
+
+def gif(images, path=None, interval: int = 60, html: bool = False):
+    """Animation helper (reference ``utils.py:44-65``): turn a sequence of
+    (H, W) frames in [0, 1] into an animation.
+
+    * ``path`` given -> write an animated GIF there (PIL writer, no ffmpeg
+      dependency) and return the path.
+    * ``html=True``  -> additionally return a self-contained HTML animation
+      string (matplotlib ``to_jshtml``; the reference's ``to_html5_video``
+      needs an ffmpeg binary this image doesn't ship).
+    """
+    from PIL import Image
+
+    frames8 = [
+        Image.fromarray(
+            (np.clip(np.asarray(im, np.float64), 0.0, 1.0) * 255).astype(np.uint8)
+        )
+        for im in images
+    ]
+    out_path = None
+    if path is not None:
+        out_path = Path(path)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        frames8[0].save(
+            out_path, save_all=True, append_images=frames8[1:],
+            duration=interval, loop=0,
+        )
+    if html:
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+        from matplotlib.animation import FuncAnimation
+
+        fig = plt.figure()
+        im = plt.imshow(np.asarray(images[0]), cmap="gray", vmin=0, vmax=1)
+        plt.axis("off")
+
+        def animate(i):
+            im.set_data(np.asarray(images[i]))
+            return (im,)
+
+        anim = FuncAnimation(
+            fig, animate, frames=range(len(images)), interval=interval
+        )
+        html_str = anim.to_jshtml()
+        plt.close(fig)
+        return html_str if out_path is None else (out_path, html_str)
+    return out_path
+
+
+def reconstruct_rgb(
+    image_rgb,
+    algo: str = "svrg",
+    denoiser=None,
+    sample_prob: float = 0.5,
+    snr: float = 30.0,
+    seed: int = 0,
+    **hp,
+):
+    """Per-channel CSMRI reconstruction of an RGB image — the working form
+    of the reference's RGB comparison path (``utils.py:66-92``
+    ``denoise_rgb``, commented out upstream): one CSMRI problem per channel,
+    run as a 3-lane batch in ONE compiled program (the reference ran three
+    sequential reconstructions).
+
+    Returns ``(original, zero_filled_init, reconstruction)`` as (H, W, 3)
+    float arrays in [0, 1].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_svrg_tpu.core.batched import stack_problems
+    from pnp_svrg_tpu.parallel.runner import run_batch
+    from pnp_svrg_tpu.problems import make_csmri
+
+    img = np.asarray(image_rgb, np.float64)
+    if img.max() > 1.5:
+        img = img / 255.0
+    keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+    problems = [
+        make_csmri(
+            keys[c], jnp.asarray(img[..., c], jnp.float32),
+            sample_prob=sample_prob, snr=snr,
+        )
+        for c in range(3)
+    ]
+    batched = stack_problems(problems)
+    if denoiser is None:
+        from pnp_svrg_tpu.denoisers import TVDenoiser
+
+        denoiser = TVDenoiser(sigma_modifier=1.0)
+    out = run_batch(
+        algo, batched, denoiser, key=jax.random.PRNGKey(seed + 1), **hp
+    )
+    recon = np.moveaxis(np.asarray(out["image"]), 0, -1)
+    init = np.moveaxis(np.asarray(batched.x_init), 0, -1)
+    return img, np.clip(init, 0, 1), np.clip(recon, 0, 1)

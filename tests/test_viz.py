@@ -47,3 +47,47 @@ def test_show_grid(key):
     imgs = [np.zeros((8, 8)), np.ones((8, 8))]
     fig = show_grid(imgs, titles=["a", "b"], ncols=2)
     assert fig is not None
+
+
+def test_gif_writes_animated_file(tmp_path):
+    from pnp_svrg_tpu.utils.viz import gif
+
+    frames = [np.full((8, 8), v, np.float32) for v in (0.1, 0.5, 0.9)]
+    out = gif(frames, path=tmp_path / "anim.gif")
+    assert out.exists() and out.stat().st_size > 0
+    from PIL import Image
+
+    with Image.open(out) as im:
+        assert getattr(im, "n_frames", 1) == 3
+
+
+def test_gif_html():
+    from pnp_svrg_tpu.utils.viz import gif
+
+    frames = [np.zeros((4, 4)), np.ones((4, 4))]
+    html = gif(frames, html=True)
+    assert isinstance(html, str) and "animation" in html.lower()
+
+
+def test_reconstruct_rgb_improves_over_init():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pnp_svrg_tpu.denoisers import TVDenoiser
+    from pnp_svrg_tpu.utils.viz import reconstruct_rgb
+
+    rng = np.random.default_rng(0)
+    base = np.clip(
+        0.5 + 0.3 * np.sin(np.arange(32) / 3)[:, None, None]
+        + 0.05 * rng.standard_normal((32, 32, 3)),
+        0,
+        1,
+    )
+    orig, init, recon = reconstruct_rgb(
+        base, algo="svrg", denoiser=TVDenoiser(sigma_modifier=1.0),
+        snr=30, eta=100.0, n_outer=3, t2=4, mini_batch_size=128,
+    )
+    assert orig.shape == init.shape == recon.shape == (32, 32, 3)
+    mse_i = np.mean((init - orig) ** 2)
+    mse_r = np.mean((recon - orig) ** 2)
+    assert mse_r < mse_i
