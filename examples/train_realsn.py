@@ -28,6 +28,14 @@ def main(argv=None):
     parser.add_argument("--noiseL", type=float, default=40.0)
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--adaptive", action="store_true",
+                        help="use the reference's adaptive per-layer sigma "
+                        "list instead of the uniform lip^(1/L) recipe "
+                        "(requires --layers 6, SimpleCNN_models.py:18-22)")
+    parser.add_argument("--export", default=None,
+                        help="also save the final weights as "
+                        "checkpoints/<EXPORT>.npz for the denoiser loaders "
+                        "(e.g. realsn_dncnn_noise5)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
     if args.cpu:
@@ -37,11 +45,18 @@ def main(argv=None):
 
     from pnp_svrg_tpu.training import TrainConfig, train
 
+    adaptive = None
+    if args.adaptive:
+        from pnp_svrg_tpu.models.spectral_norm import ADAPTIVE_SIGMAS_6
+
+        adaptive = ADAPTIVE_SIGMAS_6
+
     cfg = TrainConfig(
         depth=args.layers,
         features=args.features,
         use_bn=not args.no_bn,
         lip=args.lip,
+        adaptive_sigmas=adaptive,
         batch_size=args.batchSize,
         epochs=args.epochs,
         milestone=args.milestone,
@@ -57,6 +72,16 @@ def main(argv=None):
         last = history[-1]
         print(f"final: val PSNR {last['val_psnr']:.2f} dB, "
               f"SSIM {last['val_ssim']:.4f}")
+    if args.export:
+        from pathlib import Path
+
+        from pnp_svrg_tpu.models.convert import save_flax_npz
+
+        out = Path(__file__).resolve().parents[1] / "checkpoints" / (
+            args.export + ".npz"
+        )
+        save_flax_npz(variables, out)
+        print(f"exported {out}")
     return variables, history
 
 

@@ -91,6 +91,33 @@ def realsn_target(lip: float = 0.3, depth: int = 17) -> float:
     return float(lip ** (1.0 / depth))
 
 
+# The reference's shipped adaptive schedule for a 6-layer SimpleCNN
+# (``SimpleCNN_models.py:21``): early layers get norm headroom, later layers
+# clamp hard; the product is ~1.0.
+ADAPTIVE_SIGMAS_6 = (5.0, 2.0, 1.0, 0.681, 0.464, 0.316)
+
+
+def realsn_targets(
+    lip: float, depth: int, adaptive=None
+) -> tuple[float, ...]:
+    """Per-layer sigma targets for a ``depth``-conv stack.
+
+    Default: the uniform recipe ``lip^(1/depth)`` per layer. ``adaptive``
+    may be an explicit per-layer list (the reference's adaptive option,
+    ``SimpleCNN_models.py:18-22``, e.g. :data:`ADAPTIVE_SIGMAS_6`); its
+    length must equal ``depth`` — the same assert the reference raises.
+    """
+    if adaptive is not None:
+        sigmas = tuple(float(s) for s in adaptive)
+        if len(sigmas) != depth:
+            raise ValueError(
+                f"Length of SN list ({len(sigmas)}) incompatible with "
+                f"num of layers ({depth})"
+            )
+        return sigmas
+    return (realsn_target(lip, depth),) * depth
+
+
 def bn_spectral_clamp(
     scale: jnp.ndarray,
     bias: jnp.ndarray,

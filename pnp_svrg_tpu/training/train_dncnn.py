@@ -32,7 +32,7 @@ from pnp_svrg_tpu.models.spectral_norm import (
     init_u,
     spectrally_normalize_kernel,
     bn_spectral_clamp,
-    realsn_target,
+    realsn_targets,
 )
 from pnp_svrg_tpu.ops.metrics import psnr, ssim
 from pnp_svrg_tpu.training import data as data_lib
@@ -46,6 +46,8 @@ class TrainConfig:
     channels: int = 1
     use_bn: bool = True
     lip: float = 0.0  # 0 => no spectral constraint; >0 => RealSN product bound
+    adaptive_sigmas: tuple | None = None  # explicit per-conv SN targets
+    # (reference SimpleCNN_models.py:18-22 'adaptive'); length must == depth
     batch_size: int = 128
     epochs: int = 50
     milestone: int = 30  # LR /10 after this epoch (reference default 30)
@@ -60,20 +62,23 @@ class TrainConfig:
     def as_dict(self) -> dict:
         d = dataclasses.asdict(self)
         d["blind_range"] = list(d["blind_range"])
+        if d["adaptive_sigmas"] is not None:
+            d["adaptive_sigmas"] = list(d["adaptive_sigmas"])
         return d
 
 
 def _sn_project(params, u_state, cfg: TrainConfig):
     """Project every conv kernel to its per-layer Lipschitz target and clamp
     BN scales (the RealSN constraint, applied post-update)."""
-    if cfg.lip <= 0:
+    if cfg.lip <= 0 and cfg.adaptive_sigmas is None:
         return params, u_state
-    target = realsn_target(cfg.lip, cfg.depth)
+    targets = realsn_targets(cfg.lip, cfg.depth, cfg.adaptive_sigmas)
     new_params = {}
     new_u = {}
     for name, layer in params["params"].items():
         layer = dict(layer)
         if name.startswith("Conv_"):
+            target = targets[int(name.split("_")[1])]
             kern, _, u_new = spectrally_normalize_kernel(
                 layer["kernel"], u_state[name], target=target, n_iters=cfg.sn_iters
             )

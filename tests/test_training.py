@@ -186,3 +186,38 @@ class TestNative:
         a = native.assemble_noisy_batch(ps, idx, 0.1, 0.1, seed=3)
         b = native.assemble_noisy_batch(ps, idx, 0.1, 0.1, seed=3)
         np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_adaptive_per_layer_sigma_targets():
+    """The reference's adaptive SN option (SimpleCNN_models.py:18-22): an
+    explicit per-layer sigma list replaces the uniform lip^(1/L) recipe."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_svrg_tpu.models.dncnn import DnCNN
+    from pnp_svrg_tpu.models.spectral_norm import (
+        conv_power_iteration,
+        init_u,
+        realsn_targets,
+    )
+    from pnp_svrg_tpu.training.train_dncnn import TrainConfig, _sn_project
+
+    assert realsn_targets(0.3, 2) == (0.3 ** 0.5,) * 2
+    with pytest.raises(ValueError):
+        realsn_targets(0.3, 4, adaptive=(1.0, 0.5))
+
+    sigmas = (2.0, 1.0, 0.25)
+    cfg = TrainConfig(depth=3, features=8, use_bn=False, lip=1.0,
+                      adaptive_sigmas=sigmas, sn_probe_hw=16, sn_iters=25)
+    model = DnCNN(channels=1, depth=3, features=8, use_bn=False)
+    key = jax.random.PRNGKey(0)
+    variables = dict(model.init(key, jnp.zeros((1, 16, 16, 1)), train=False))
+    u_state = {
+        name: init_u(jax.random.fold_in(key, i), layer["kernel"].shape[-1], hw=16)
+        for i, (name, layer) in enumerate(variables["params"].items())
+        if name.startswith("Conv_")
+    }
+    projected, u_state = _sn_project(variables, u_state, cfg)
+    for i, (name, layer) in enumerate(sorted(projected["params"].items())):
+        sig, _ = conv_power_iteration(layer["kernel"], u_state[name], n_iters=30)
+        assert abs(float(sig) - sigmas[i]) / sigmas[i] < 0.05, (name, float(sig))
