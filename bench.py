@@ -5,9 +5,24 @@ the batch) for PnP-SVRG + native BM3D on 128x128 CSMRI — directly comparable
 to the reference's ~2.5-3.3 it/s single-image CPU baseline (BASELINE.md
 "Throughput baseline": iteration counts / 60 s wall budget).
 
+Quality lanes (recorded in the same JSON line, details on stderr):
+
+* 12 Set12 images with per-lane tuned (eta, sigma_modifier) from
+  ``data/set12_csmri_tuned.json`` (produced by ``examples/tune_set12.py`` on
+  this hardware) and variable-density masks (``make_csmri(keep_low_freq=4)``
+  — the reference's uniform Bernoulli mask leaves the DC coefficient present
+  only by coin flip, which makes the image mean unidentifiable and caps
+  unlucky lanes at single-digit PSNR regardless of algorithm; see
+  ``problems/csmri.py``).
+* The reference flagship lane — 13.png, reference-EXACT Bernoulli mask,
+  p=0.5, SNR 10 (BASELINE.md CSMRI/SVRG/BM3D: 22.8 dB).
+* A PR + BM3D lane — Set12/04, alpha=0.5, SNR 20 (BASELINE.md PR table:
+  SVRG+BM3D 26.8 dB).
+* Throughput is also measured at the BM3D default search=12 (the headline
+  uses search=8, the bench fast configuration).
+
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": "pnp_iters_per_sec", "vs_baseline": N}
-Reconstruction quality (mean final PSNR) is printed to stderr for the record.
+  {"metric": ..., "value": N, "unit": "pnp_iters_per_sec", "vs_baseline": N, ...}
 """
 
 import json
@@ -22,6 +37,17 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 BASELINE_ITERS_PER_SEC = 2.9  # midpoint of the reference's 2.5-3.3 it/s
+TUNED_JSON = os.path.join(os.path.dirname(__file__), "data", "set12_csmri_tuned.json")
+
+
+def _sync(tree):
+    """Scalar host-readback fence — block_until_ready is unreliable over the
+    axon PJRT tunnel (see CLAUDE.md 'Measuring performance')."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "reshape") and getattr(leaf, "size", 0):
+            float(np.real(np.asarray(leaf.reshape(-1)[0])))
 
 
 def main():
@@ -36,34 +62,49 @@ def main():
     from pnp_svrg_tpu.algorithms.loops import pnp_svrg
     from pnp_svrg_tpu.core.batched import stack_problems
     from pnp_svrg_tpu.denoisers.bm3d import BM3DDenoiser, BM3DParams
-    from pnp_svrg_tpu.problems import make_csmri
-    from pnp_svrg_tpu.utils.io import set12_paths, load_image
+    from pnp_svrg_tpu.problems import make_csmri, make_phase_retrieval
+    from pnp_svrg_tpu.utils.io import set12_paths, load_image, resolve_data_path
 
     h = w = 128
     n_outer = int(os.environ.get("BENCH_OUTER", 16))
     t2, mb = 10, 4000
-    eta = 6000.0
+
+    tuned = None
+    if os.path.exists(TUNED_JSON):
+        with open(TUNED_JSON) as f:
+            tuned = json.load(f)
 
     paths = set12_paths()
     paths = paths[: int(os.environ.get("BENCH_BSZ", len(paths)))]
+    n_set12 = len(paths)
     # The reference's flagship quality config (BASELINE.md: 13.png, 128x128,
     # p=0.5, SNR 10, BM3D -> 22.8 dB) rides along as an extra batch lane so
-    # quality-vs-reference is checked by the same compiled program.
-    from pnp_svrg_tpu.utils.io import resolve_data_path
-
+    # quality-vs-reference is checked by the same compiled program. It keeps
+    # the reference-exact uniform Bernoulli mask (keep_low_freq=0).
     paths = list(paths) + [resolve_data_path("13.png")]
+    keep = int(tuned["config"].get("keep_low_freq", 4)) if tuned else 4
+    keeps = [keep] * n_set12 + [0]
     keys = list(jax.random.split(jax.random.PRNGKey(0), len(paths) - 1))
     keys.append(jax.random.PRNGKey(0))  # fixed key for the flagship lane
     problems = [
-        make_csmri(k, jnp.asarray(load_image(p, h, w)), sample_prob=0.5, snr=10)
-        for k, p in zip(keys, paths)
+        make_csmri(
+            k, jnp.asarray(load_image(p, h, w)), sample_prob=0.5, snr=10,
+            keep_low_freq=kl,
+        )
+        for k, p, kl in zip(keys, paths, keeps)
     ]
     batched = stack_problems(problems)
     bsz = len(problems)
-    den = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=8))
 
-    def run(problem_batch, key):
-        # Batch-polymorphic loop: (B, N) state, denoiser sees (B, H, W).
+    if tuned and len(tuned["eta"]) == bsz:
+        eta = jnp.asarray(tuned["eta"], jnp.float32)
+        mod = jnp.asarray(tuned["sigma_modifier"], jnp.float32)
+    else:
+        eta = jnp.full((bsz,), 6000.0, jnp.float32)
+        mod = jnp.full((bsz,), 1.0, jnp.float32)
+
+    def run(problem_batch, key, search):
+        den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(search=search))
         out = pnp_svrg(
             problem_batch,
             den,
@@ -75,32 +116,56 @@ def main():
         )
         return {k: out[k] for k in ("z", "psnr_per_iter", "final_psnr")}
 
-    t0 = time.time()
-    out = run(batched, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
-    compile_and_first = time.time() - t0
+    def timed(search):
+        t0 = time.time()
+        out = run(batched, jax.random.PRNGKey(1), search)
+        _sync(out)
+        first = time.time() - t0
+        t0 = time.time()
+        out = run(batched, jax.random.PRNGKey(2), search)
+        _sync(out)
+        return out, time.time() - t0, first
 
-    t0 = time.time()
-    out = run(batched, jax.random.PRNGKey(2))
-    jax.block_until_ready(out)
-    steady = time.time() - t0
+    out, steady, compile_and_first = timed(8)
+    out12, steady12, _ = timed(12)
 
     iters = n_outer * (t2 + 1)  # inner steps + snapshot entries, ref layout
     image_iters = bsz * iters
     its_per_sec = image_iters / steady
+    its_per_sec_12 = image_iters / steady12
     psnrs = np.asarray(out["final_psnr"])
+    set12_psnrs = psnrs[:n_set12]
+    flagship = float(psnrs[-1])
 
     print(
         f"bench: {bsz} images x {iters} iters, steady {steady:.2f}s "
-        f"(first+compile {compile_and_first:.1f}s), mean final PSNR "
-        f"{psnrs.mean():.2f} dB (per-image: {psnrs.round(2).tolist()})",
+        f"(first+compile {compile_and_first:.1f}s; search=12 steady "
+        f"{steady12:.2f}s = {its_per_sec_12:.0f} it/s), Set12 mean final "
+        f"PSNR {set12_psnrs.mean():.2f} dB min {set12_psnrs.min():.2f} dB "
+        f"(per-image: {psnrs.round(2).tolist()})",
         file=sys.stderr,
     )
     print(
-        f"bench quality: 13.png flagship config {psnrs[-1]:.2f} dB "
+        f"bench quality: 13.png flagship (reference-exact mask) {flagship:.2f} dB "
         f"vs reference 22.8 dB (BASELINE.md CSMRI/SVRG/BM3D)",
         file=sys.stderr,
     )
+
+    # ---- PR + BM3D quality lane (BASELINE.md PR table: 26.8 dB) -----------
+    img04 = jnp.asarray(load_image(resolve_data_path("Set12/04.png"), h, w))
+    pr = make_phase_retrieval(jax.random.PRNGKey(4), img04, num_meas=8192, snr=20)
+    den_pr = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=8))
+    pr_out = pnp_svrg(
+        pr, den_pr, eta=0.2, n_outer=10, t2=8, mini_batch_size=800,
+        key=jax.random.PRNGKey(5),
+    )
+    pr_psnr = float(np.asarray(pr_out["final_psnr"]))
+    print(
+        f"bench quality: PR+BM3D (Set12/04, alpha=0.5, SNR 20) {pr_psnr:.2f} dB "
+        f"vs reference 26.8 dB (BASELINE.md PR/SVRG/BM3D)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -108,6 +173,13 @@ def main():
                 "value": round(its_per_sec, 2),
                 "unit": "pnp_iters_per_sec",
                 "vs_baseline": round(its_per_sec / BASELINE_ITERS_PER_SEC, 2),
+                "iters_per_sec_bm3d_search12": round(its_per_sec_12, 2),
+                "set12_mean_psnr_db": round(float(set12_psnrs.mean()), 2),
+                "set12_min_psnr_db": round(float(set12_psnrs.min()), 2),
+                "flagship_13png_psnr_db": round(flagship, 2),
+                "flagship_ref_psnr_db": 22.8,
+                "pr_bm3d_psnr_db": round(pr_psnr, 2),
+                "pr_bm3d_ref_psnr_db": 26.8,
             }
         )
     )
