@@ -121,19 +121,30 @@ def make_train_step(model: DnCNN, tx, cfg: TrainConfig):
 def evaluate(model: DnCNN, variables, val_images: Sequence[np.ndarray], sigma: float,
              seed: int = 1234):
     """Per-epoch validation: PSNR/SSIM of denoised Set12 (reference
-    ``train_full_realsn.py:127-162``)."""
+    ``train_full_realsn.py:127-162``).
+
+    The whole per-image evaluation (forward pass + both metrics) is ONE
+    jitted dispatch returning two scalars: over the axon PJRT tunnel a chain
+    of small eager metric ops can read back corrupted values (observed SSIM
+    of 2.64 for a 0.875 image), and scalar readbacks are the only reliable
+    fence (CLAUDE.md measurement playbook)."""
     rng = np.random.default_rng(seed)
+
+    @jax.jit
+    def eval_one(v, clean, noisy):
+        r = model.apply(v, noisy[None, ..., None])[0, ..., 0]
+        den = jnp.clip(noisy - r, 0.0, 1.0)
+        return psnr(clean, den), ssim(clean, den)
+
     psnrs, ssims = [], []
-    apply = jax.jit(lambda v, x: model.apply(v, x))
     for img in val_images:
         clean = jnp.asarray(img, jnp.float32)
         noisy = clean + sigma * jnp.asarray(
             rng.standard_normal(clean.shape), jnp.float32
         )
-        r = apply(variables, noisy[None, ..., None])[0, ..., 0]
-        den = jnp.clip(noisy - r, 0.0, 1.0)
-        psnrs.append(float(psnr(clean, den)))
-        ssims.append(float(ssim(clean, den)))
+        p, s = eval_one(variables, clean, noisy)
+        psnrs.append(float(p))
+        ssims.append(float(s))
     return float(np.mean(psnrs)), float(np.mean(ssims))
 
 
