@@ -10,7 +10,9 @@ gradient_time, denoise_time, algo_name}`` (reference ``algorithms/pnp_gd.py:
 ``PSNR(Xinit) - PSNR(z)`` (reference ``pnp_gd.py:86-109``).
 
 Mechanics: gradient and denoise sub-steps are jitted separately and invoked
-from a host loop with ``block_until_ready`` timing fences, so the
+from a host loop with scalar-readback timing fences
+(:func:`pnp_svrg_tpu.utils.profiling.scalar_fence` — ``block_until_ready``
+does not reliably block over the axon PJRT tunnel, see CLAUDE.md), so the
 gradient-vs-denoise wall-clock split is measured the same way the reference
 measures it. This trades dispatch overhead for faithful semantics; use the
 scan API for production throughput.
@@ -28,6 +30,7 @@ import numpy as np
 
 from pnp_svrg_tpu.algorithms.loops import TOL
 from pnp_svrg_tpu.ops.sigma import estimate_sigma
+from pnp_svrg_tpu.utils.profiling import scalar_fence
 
 
 def _split_timed(problem, denoiser):
@@ -99,7 +102,7 @@ def _run_wallclock(
             # records (SARAH logs the step-1 point even in faithful mode,
             # where z itself stays put).
             z, snap_state, t, log_psnr = outer_snapshot(z, t)
-            jax.block_until_ready(z)
+            scalar_fence(z)
             time_per_iter.append(time.time() - t0)
             psnr_per_iter.append(_round2(log_psnr))
         inner_iters = t2 if t2 is not None else 1
@@ -110,13 +113,13 @@ def _run_wallclock(
             g0 = time.time()
             v, snap_state = grad_fn(z, i, snap_state)
             z = z - (eta * lr_decay**i) * v.ravel()
-            jax.block_until_ready(z)
+            scalar_fence(z)
             g1 = time.time()
             gradient_time += g1 - g0
             d0 = time.time()
             t += 1
             z = denoise_step(z, t)
-            jax.block_until_ready(z)
+            scalar_fence(z)
             d1 = time.time()
             denoise_time += d1 - d0
             inner_done += 1

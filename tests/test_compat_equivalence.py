@@ -99,6 +99,34 @@ def test_compat_matches_scan_faithful(algo):
     _compare(scan_out, compat_out)
 
 
+@pytest.mark.parametrize("algo", ["sgd", "svrg"])
+def test_compat_timing_split_sums_to_time_per_iter(algo):
+    """The gradient/denoise wall-clock split must account for the per-iter
+    times (reference timing contract ``pnp_sgd.py:58``): every inner
+    time_per_iter entry is (grad + denoise) duration, so the accumulators sum
+    to the inner entries exactly. SVRG additionally logs outer snapshot
+    entries, which are in time_per_iter but in neither accumulator, so the
+    split is a lower bound there. The fences are scalar readbacks
+    (utils.profiling.scalar_fence) — the only fence that reliably blocks over
+    the axon PJRT tunnel."""
+    problem = _problem()
+    _, compat_hp = CASES[algo]
+    out = getattr(compat, f"pnp_{algo}")(
+        problem, DEN, converge_check=False, diverge_check=False, **compat_hp
+    )
+    split = out["gradient_time"] + out["denoise_time"]
+    total = float(np.sum(out["time_per_iter"]))
+    assert split > 0.0
+    if algo == "sgd":
+        np.testing.assert_allclose(split, total, rtol=1e-9)
+    else:
+        n_outer_entries = compat_hp["max_iters"] // compat_hp["T2"]
+        inner = total - split  # snapshot entries only
+        assert 0.0 <= inner
+        # sanity: the number of snapshot entries matches the outer count
+        assert len(out["time_per_iter"]) == 1 + compat_hp["max_iters"] + n_outer_entries
+
+
 def test_sarah_canonical_recursion_is_live():
     """Regression for the degenerate round-1 canonical recursion: with
     w_prev tracking the previous iterate, the inner gradient estimate must
