@@ -18,6 +18,20 @@ import jax
 import jax.numpy as jnp
 
 
+# Literal of parallel.mesh.BATCH_AXIS (importing it would cycle through the
+# parallel package __init__, which imports this module).
+_BATCH_AXIS = "batch"
+
+
+def _axis_index_or_zero(name: str):
+    """axis_index when ``name`` is bound (the loop runs under a shard_map
+    that shards the batch axis), else 0 (unsharded / GSPMD execution)."""
+    try:
+        return jax.lax.axis_index(name)
+    except NameError:
+        return jnp.asarray(0, jnp.int32)
+
+
 class BatchedProblem:
     """Stacked problems behind the single-problem duck-typed interface."""
 
@@ -67,7 +81,14 @@ class BatchedProblem:
         )
 
     def select_mb(self, key: jax.Array, k: int):
-        keys = jax.random.split(key, self.batch_size)
+        # Per-lane keys come from *global* lane ids so sampling does not
+        # depend on how the batch axis is laid out: under a batch-sharded
+        # shard_map each device sees only its local lanes, and splitting by
+        # the local batch size would hand every device's lanes the same keys
+        # (split(key, n)[i] is stable in n). Matches MeasShardedBatched.
+        b_local = self.batch_size
+        lanes = _axis_index_or_zero(_BATCH_AXIS) * b_local + jnp.arange(b_local)
+        keys = jax.vmap(lambda l: jax.random.fold_in(key, l))(lanes)
         return jax.vmap(lambda p, kk: p.select_mb(kk, k))(self.problems, keys)
 
     def full_mb(self):

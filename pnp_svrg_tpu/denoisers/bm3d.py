@@ -393,3 +393,32 @@ class BM3DDenoiser:
         if x.ndim == 3:
             return bm3d_denoise_batch(x, sigma, params=self.params, stages=self.stages)
         return bm3d_denoise(x, sigma, params=self.params, stages=self.stages)
+
+    def denoise_bounded(
+        self, x: jnp.ndarray, sigma_est: jnp.ndarray, t: jnp.ndarray,
+        row_valid_bounds: tuple,
+    ) -> jnp.ndarray:
+        """Same denoise step restricted to in-image candidate rows — the
+        row-sharded spatial path (``parallel/spatial.py``) hands each shard
+        its halo-extended block plus the (lo, hi) in-image bounds."""
+        sigma_est = jnp.asarray(sigma_est, x.dtype)
+        sigma = jnp.where(
+            sigma_est > 0,
+            sigma_est * self.sigma_modifier,
+            self.denoise_strength * self.decay**t,
+        )
+        xb = x if x.ndim == 3 else x[None]
+        out = bm3d_denoise_batch(
+            xb, sigma, params=self.params, stages=self.stages,
+            row_valid_bounds=row_valid_bounds,
+        )
+        return out if x.ndim == 3 else out[0]
+
+    def spatial_halo(self) -> int:
+        """Dependency radius in rows for row-sharded denoising: each stage's
+        output is exact only (search + block) rows inside the halo and the
+        Wiener stage re-matches on the stage-1 estimate, so the halo
+        compounds per stage; rounded up to the reference-grid step so
+        per-shard grids align with the global one."""
+        halo = self.stages * (self.params.search + self.params.block)
+        return halo + (-halo) % self.params.step

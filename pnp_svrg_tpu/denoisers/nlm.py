@@ -151,3 +151,27 @@ class NLMDenoiser:
         return nlm_denoise(
             x, h, sigma, patch_size=self.patch_size, patch_distance=self.patch_distance
         )
+
+    def denoise_bounded(
+        self, x: jnp.ndarray, sigma_est: jnp.ndarray, t: jnp.ndarray,
+        row_valid_bounds: tuple,
+    ) -> jnp.ndarray:
+        """Denoise with explicit in-image row bounds (the row-sharded
+        spatial path, ``parallel/spatial.py``)."""
+        sigma_est = jnp.asarray(sigma_est, x.dtype)
+        use_est = sigma_est > 0
+        h = jnp.where(
+            use_est,
+            sigma_est * self.sigma_modifier,
+            self.denoise_strength * self.decay**t,
+        )
+        sigma = jnp.where(use_est, sigma_est * self.sigma_modifier, 0.0)
+        return nlm_denoise(
+            x, h, sigma, patch_size=self.patch_size,
+            patch_distance=self.patch_distance,
+            row_valid_bounds=row_valid_bounds,
+        )
+
+    def spatial_halo(self) -> int:
+        """Dependency radius in rows for row-sharded denoising."""
+        return self.patch_distance + self.patch_size

@@ -73,6 +73,40 @@ def init_u(key: jax.Array, cout: int, hw: int = PROBE_HW) -> jnp.ndarray:
     return _normalize(jax.random.normal(key, (1, hw, hw, cout)))
 
 
+def power_iteration_uv(
+    kernel: jnp.ndarray,
+    u: jnp.ndarray,
+    n_iters: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Advance the power iteration and return the singular-vector pair
+    ``(u_new, v_new)``, both under ``stop_gradient`` — the training-time
+    contract of torch ``spectral_norm`` (reference ``conv_sn_chen.py:60-63``:
+    the pre-hook iterates u/v without grad, then ``sigma = <u, W v>`` is
+    differentiated with u, v held fixed)."""
+    cin = kernel.shape[2]
+    probe = jnp.zeros((1, u.shape[1], u.shape[2], cin), kernel.dtype)
+    _, vjp_fn = jax.vjp(lambda v: _conv_same(v, kernel), probe)
+
+    def body(_, u_cur):
+        (v,) = vjp_fn(u_cur)
+        return _normalize(_conv_same(_normalize(v), kernel))
+
+    u_new = jax.lax.fori_loop(0, n_iters, body, u)
+    (v,) = vjp_fn(u_new)
+    v = _normalize(v)
+    return jax.lax.stop_gradient(u_new), jax.lax.stop_gradient(v)
+
+
+def sigma_uv(kernel: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """``sigma = <u, conv(v, W)>`` — linear (hence differentiable) in the
+    kernel for fixed u, v. Dividing the kernel by this inside the forward
+    pass is the torch-``spectral_norm`` parametrization: gradients flow
+    through the normalization, unlike a post-step projection (which
+    multiplicatively shrinks the learned update every step and collapses
+    the model to the zero predictor — observed in round 3 training)."""
+    return jnp.sum(u * _conv_same(v, kernel))
+
+
 def spectrally_normalize_kernel(
     kernel: jnp.ndarray,
     u: jnp.ndarray,

@@ -13,9 +13,11 @@ Here parallelism is a first-class ``jax.sharding.Mesh`` with two axes:
 
 from pnp_svrg_tpu.parallel.mesh import (
     make_mesh,
+    make_spatial_mesh,
     init_distributed,
     BATCH_AXIS,
     MEAS_AXIS,
+    SPATIAL_AXIS,
 )
 from pnp_svrg_tpu.core.batched import BatchedProblem, stack_problems
 from pnp_svrg_tpu.parallel.runner import (
@@ -37,13 +39,17 @@ from pnp_svrg_tpu.parallel.spatial import (
     denoise_spatial,
     nlm_denoise_spatial,
     bm3d_denoise_spatial,
+    SpatialTiledDenoiser,
+    run_batch_spatial,
 )
 
 __all__ = [
     "make_mesh",
+    "make_spatial_mesh",
     "init_distributed",
     "BATCH_AXIS",
     "MEAS_AXIS",
+    "SPATIAL_AXIS",
     "BatchedProblem",
     "stack_problems",
     "run_batch",
@@ -58,4 +64,6 @@ __all__ = [
     "denoise_spatial",
     "nlm_denoise_spatial",
     "bm3d_denoise_spatial",
+    "SpatialTiledDenoiser",
+    "run_batch_spatial",
 ]

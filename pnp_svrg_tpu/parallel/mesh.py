@@ -17,6 +17,7 @@ from jax.sharding import Mesh
 
 BATCH_AXIS = "batch"
 MEAS_AXIS = "meas"
+SPATIAL_AXIS = "spatial"
 
 
 def init_distributed(
@@ -72,3 +73,22 @@ def make_mesh(
         raise ValueError(f"mesh shape {shape} != device count {n}")
     arr = np.asarray(devices).reshape(b, m)
     return Mesh(arr, (BATCH_AXIS, MEAS_AXIS))
+
+
+def make_spatial_mesh(
+    shape: tuple[int, int] | None = None,
+    devices=None,
+) -> Mesh:
+    """Build a 2-D (batch, spatial) mesh: DP over images plus row-sharded
+    denoising with halo semantics (the framework's context-parallel analog,
+    SURVEY.md §2.10)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (1, n)
+    b, s = shape
+    if b * s != n:
+        raise ValueError(f"mesh shape {shape} != device count {n}")
+    arr = np.asarray(devices).reshape(b, s)
+    return Mesh(arr, (BATCH_AXIS, SPATIAL_AXIS))

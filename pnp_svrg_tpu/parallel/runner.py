@@ -27,6 +27,7 @@ def run_batch(
     denoiser,
     key: jax.Array | None = None,
     mesh=None,
+    image_shards: int | None = None,
     **hp,
 ):
     """Run one PnP algorithm over a problem batch in a single compiled loop.
@@ -36,12 +37,36 @@ def run_batch(
     the denoiser once per step with the (B, H, W) stack — BM3D/NLM/CNN
     denoisers hit their natively-batched kernels. With ``mesh``, the batch
     axis is sharded over the mesh ``batch`` axis.
+
+    ``image_shards=k`` row-shards the denoise step over a ``spatial`` mesh
+    axis with halo border semantics (parallel/spatial.py — for images whose
+    denoiser working set exceeds one chip; requires a windowed denoiser with
+    a bounded path: BM3D or NLM). Pass a (batch, spatial) mesh from
+    ``make_spatial_mesh`` or let one be built over all devices; the batch
+    size must divide by the mesh ``batch`` axis.
     """
     if isinstance(batched_problem, (list, tuple)):
         batched_problem = stack_problems(batched_problem)
     fn = _ALGOS[algo]
     if key is None:
         key = jax.random.PRNGKey(0)
+
+    if image_shards is not None and image_shards > 1:
+        from pnp_svrg_tpu.parallel.mesh import SPATIAL_AXIS, make_spatial_mesh
+        from pnp_svrg_tpu.parallel.spatial import run_batch_spatial
+
+        if mesh is None:
+            n = len(jax.devices())
+            mesh = make_spatial_mesh((n // image_shards, image_shards))
+        elif (
+            SPATIAL_AXIS not in mesh.shape
+            or mesh.shape[SPATIAL_AXIS] != image_shards
+        ):
+            raise ValueError(
+                f"mesh {dict(mesh.shape)} has no spatial axis of size "
+                f"{image_shards}; build one with make_spatial_mesh"
+            )
+        return run_batch_spatial(fn, batched_problem, denoiser, key, mesh, **hp)
 
     if mesh is not None and MEAS_AXIS in mesh.shape and mesh.shape[MEAS_AXIS] > 1:
         # 2-D (batch, meas) mesh: the whole scan loop runs SPMD with psum

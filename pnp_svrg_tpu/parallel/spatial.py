@@ -18,12 +18,15 @@ re-anchors per shard, so seams agree only to aggregation-weight differences
 
 from __future__ import annotations
 
+import dataclasses
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from pnp_svrg_tpu.parallel.mesh import BATCH_AXIS
+from pnp_svrg_tpu.parallel.mesh import BATCH_AXIS, SPATIAL_AXIS
 
 
 def denoise_spatial(
@@ -106,6 +109,103 @@ def nlm_denoise_spatial(
         halo=halo,
         axis_name=axis_name,
     )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["inner"],
+    meta_fields=["halo", "shards", "axis_name"],
+)
+@dataclasses.dataclass(frozen=True)
+class SpatialTiledDenoiser:
+    """Row-tiled denoise step for a PnP loop running under ``shard_map``.
+
+    Each device denoises only its own H/shards row block (plus ``halo``
+    dependency rows) of every image in the batch, with the inner denoiser's
+    ``row_valid_bounds`` border semantics, then the blocks are reassembled
+    with one ``all_gather`` over the ``spatial`` mesh axis. Loop state (the
+    image iterate) stays replicated along that axis — images are small; what
+    this shards is the denoiser's working set (BM3D patch tables and group
+    tensors are ~100x the image) and its compute, the framework's
+    context-parallel analog (SURVEY.md §2.10).
+
+    Built by :func:`run_batch_spatial`; inner must provide
+    ``denoise_bounded`` and ``spatial_halo`` (BM3D, NLM).
+    """
+
+    inner: object
+    halo: int = 0
+    shards: int = 1
+    axis_name: str = SPATIAL_AXIS
+
+    def denoise(
+        self, x: jnp.ndarray, sigma_est: jnp.ndarray, t: jnp.ndarray
+    ) -> jnp.ndarray:
+        squeeze = x.ndim == 2
+        xb = x[None] if squeeze else x  # (B, H, W), replicated along axis
+        h_total = xb.shape[1]
+        n, halo = self.shards, self.halo
+        rows = h_total // n
+        idx = jax.lax.axis_index(self.axis_name)
+        # Reflect-pad the full (replicated) image; shard idx's halo-extended
+        # block then spans original rows [idx*rows - halo, (idx+1)*rows + halo)
+        # with jnp.pad(mode="reflect") semantics at the global edges — the
+        # same extended block denoise_spatial builds with ppermute when the
+        # image itself is sharded.
+        xp = jnp.pad(xb, ((0, 0), (halo, halo), (0, 0)), mode="reflect")
+        ext = jax.lax.dynamic_slice_in_dim(xp, idx * rows, rows + 2 * halo, axis=1)
+        ext_h = rows + 2 * halo
+        lo = jnp.where(idx == 0, halo, 0)
+        hi = jnp.where(idx == n - 1, ext_h - halo, ext_h)
+        out = self.inner.denoise_bounded(ext, sigma_est, t, (lo, hi))
+        out = out[:, halo : halo + rows]
+        full = jax.lax.all_gather(out, self.axis_name, axis=1, tiled=True)
+        return full[0] if squeeze else full
+
+
+def run_batch_spatial(fn, batched_problem, denoiser, key, mesh, **hp):
+    """Run one PnP scan loop with the denoise step row-sharded over the
+    mesh ``spatial`` axis (and images data-parallel over ``batch``).
+
+    The public entry is ``run_batch(..., image_shards=k)``; this is the
+    mechanism. Requires a denoiser with ``denoise_bounded``/``spatial_halo``
+    (BM3D, NLM — the windowed kernels whose working set dominates memory).
+    """
+    s = mesh.shape[SPATIAL_AXIS]
+    h_total = int(batched_problem.h)
+    if h_total % s:
+        raise ValueError(f"image height {h_total} not divisible by {s} shards")
+    if not hasattr(denoiser, "denoise_bounded"):
+        raise TypeError(
+            f"{type(denoiser).__name__} has no bounded/row-sharded denoise "
+            "path (supported: BM3DDenoiser, NLMDenoiser)"
+        )
+    halo = denoiser.spatial_halo()
+    tiled = SpatialTiledDenoiser(denoiser, halo=halo, shards=s)
+    out_keys = ("z", "image", "psnr_per_iter", "final_psnr")
+
+    def local_run(local_tree, k):
+        out = fn(local_tree, tiled, key=k, **hp)
+        return {kk: out[kk] for kk in out_keys}
+
+    in_specs = jax.tree_util.tree_map(
+        lambda leaf: P(BATCH_AXIS, *([None] * (leaf.ndim - 1))), batched_problem
+    )
+    out_specs = {
+        "z": P(BATCH_AXIS, None),
+        "image": P(BATCH_AXIS, None, None),
+        "psnr_per_iter": P(None, BATCH_AXIS),
+        "final_psnr": P(BATCH_AXIS),
+    }
+    runner = shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(in_specs, P()),
+        out_specs=out_specs,
+        check_vma=False,  # z is replicated along spatial by construction
+        # (each denoise ends in an all_gather); the static checker can't see it
+    )
+    return runner(batched_problem, key)
 
 
 def bm3d_denoise_spatial(

@@ -30,7 +30,8 @@ import optax
 from pnp_svrg_tpu.models.dncnn import DnCNN
 from pnp_svrg_tpu.models.spectral_norm import (
     init_u,
-    spectrally_normalize_kernel,
+    power_iteration_uv,
+    sigma_uv,
     bn_spectral_clamp,
     realsn_targets,
 )
@@ -55,6 +56,10 @@ class TrainConfig:
     mode: str = "S"  # S: fixed sigma, B: blind
     noise_level: float = 40.0  # sigma in /255 units (mode S)
     blind_range: tuple = (0.0, 55.0)
+    bn_sn: float = 0.0  # BN spectral-norm target; 0 = off. The reference's
+    # RealSN recipe disables it (full_realsn_models.py bn_layer(features,
+    # 0.0)) — clamping BN to 1.0 forbids it from re-amplifying the
+    # SN-shrunk conv activations and collapses the net to the zero predictor.
     sn_probe_hw: int = 40
     sn_iters: int = 1
     seed: int = 0
@@ -67,37 +72,85 @@ class TrainConfig:
         return d
 
 
-def _sn_project(params, u_state, cfg: TrainConfig):
-    """Project every conv kernel to its per-layer Lipschitz target and clamp
-    BN scales (the RealSN constraint, applied post-update)."""
-    if cfg.lip <= 0 and cfg.adaptive_sigmas is None:
-        return params, u_state
+def _sn_enabled(cfg: TrainConfig) -> bool:
+    return cfg.lip > 0 or cfg.adaptive_sigmas is not None
+
+
+def _sn_effective_params(params, batch_stats, uv, cfg: TrainConfig):
+    """The spectrally-normalized parameters the raw ones parametrize:
+    every conv kernel scaled by ``target / sigma`` with sigma differentiable
+    through the fixed (u, v) pair (torch-``spectral_norm`` semantics —
+    gradients flow through the normalization), BN scales clamped via the
+    running variance.
+
+    This runs in the FORWARD pass, like the reference's pre-hooks
+    (``Spectral_Normalize_chen.py:82-89``, ``conv_sn_chen.py:60-63``). A
+    post-step projection is NOT equivalent: it compounds multiplicative
+    shrinkage into the raw parameters every step and collapses the model to
+    the zero predictor (observed: 17-layer lip=0.3 run pinned at the
+    zero-residual loss with val PSNR == noisy PSNR)."""
     targets = realsn_targets(cfg.lip, cfg.depth, cfg.adaptive_sigmas)
     new_params = {}
-    new_u = {}
-    for name, layer in params["params"].items():
+    for name, layer in params.items():
         layer = dict(layer)
         if name.startswith("Conv_"):
+            u, v = uv[name]
             target = targets[int(name.split("_")[1])]
-            kern, _, u_new = spectrally_normalize_kernel(
-                layer["kernel"], u_state[name], target=target, n_iters=cfg.sn_iters
+            layer["kernel"] = layer["kernel"] * (
+                target / sigma_uv(layer["kernel"], u, v)
             )
-            layer["kernel"] = kern
-            new_u[name] = u_new
-        elif name.startswith("BatchNorm_") and "batch_stats" in params:
-            var = params["batch_stats"][name]["var"]
-            s, b = bn_spectral_clamp(layer["scale"], layer["bias"], var, 1.0)
+        elif (
+            cfg.bn_sn > 0
+            and name.startswith("BatchNorm_")
+            and batch_stats is not None
+        ):
+            var = jax.lax.stop_gradient(batch_stats[name]["var"])
+            s, b = bn_spectral_clamp(layer["scale"], layer["bias"], var, cfg.bn_sn)
             layer["scale"], layer["bias"] = s, b
         new_params[name] = layer
-    out = dict(params)
-    out["params"] = new_params
-    return out, {**u_state, **new_u}
+    return new_params
+
+
+def effective_variables(variables, u_state, cfg: TrainConfig, n_iters: int = 30):
+    """Materialize the effective (normalized) network from raw training
+    variables — what evaluation, export, and the denoiser loaders consume.
+    Uses a converged power iteration (``n_iters``) so the per-layer
+    Lipschitz targets genuinely hold on the saved weights."""
+    if not _sn_enabled(cfg):
+        return variables
+    uv = {
+        name: power_iteration_uv(layer["kernel"], u_state[name], n_iters)
+        for name, layer in variables["params"].items()
+        if name.startswith("Conv_")
+    }
+    params = _sn_effective_params(
+        variables["params"], variables.get("batch_stats"), uv, cfg
+    )
+    return {**variables, "params": params}
 
 
 def make_train_step(model: DnCNN, tx, cfg: TrainConfig):
+    sn = _sn_enabled(cfg)
+
     @jax.jit
     def step(variables, opt_state, u_state, noisy, noise):
+        if sn:
+            # Power-iterate u/v once per step outside the gradient (the
+            # reference pre-hook's no_grad update, conv_sn_chen.py:60-63).
+            uv = {
+                name: power_iteration_uv(
+                    layer["kernel"], u_state[name], cfg.sn_iters
+                )
+                for name, layer in variables["params"].items()
+                if name.startswith("Conv_")
+            }
+            u_state = {**u_state, **{n: u for n, (u, _) in uv.items()}}
+
         def loss_fn(params):
+            if sn:
+                params = _sn_effective_params(
+                    params, variables.get("batch_stats"), uv, cfg
+                )
             vs = {"params": params, **{k: v for k, v in variables.items() if k != "params"}}
             out, updates = model.apply(
                 vs, noisy, train=True, mutable=["batch_stats"] if cfg.use_bn else []
@@ -112,7 +165,6 @@ def make_train_step(model: DnCNN, tx, cfg: TrainConfig):
         up, opt_state = tx.update(grads, opt_state, variables["params"])
         params = optax.apply_updates(variables["params"], up)
         new_vars = {**variables, "params": params, **updates}
-        new_vars, u_state = _sn_project(new_vars, u_state, cfg)
         return new_vars, opt_state, u_state, loss
 
     return step
@@ -134,7 +186,10 @@ def evaluate(model: DnCNN, variables, val_images: Sequence[np.ndarray], sigma: f
     def eval_one(v, clean, noisy):
         r = model.apply(v, noisy[None, ..., None])[0, ..., 0]
         den = jnp.clip(noisy - r, 0.0, 1.0)
-        return psnr(clean, den), ssim(clean, den)
+        # One stacked output array, not two scalars: reading back the second
+        # of two scalar outputs over the axon tunnel has returned corrupted
+        # values (observed SSIM 7.9 for a <=1 metric).
+        return jnp.stack([psnr(clean, den), ssim(clean, den)])
 
     psnrs, ssims = [], []
     for img in val_images:
@@ -142,9 +197,9 @@ def evaluate(model: DnCNN, variables, val_images: Sequence[np.ndarray], sigma: f
         noisy = clean + sigma * jnp.asarray(
             rng.standard_normal(clean.shape), jnp.float32
         )
-        p, s = eval_one(variables, clean, noisy)
-        psnrs.append(float(p))
-        ssims.append(float(s))
+        ps = np.asarray(eval_one(variables, clean, noisy))
+        psnrs.append(float(ps[0]))
+        ssims.append(float(ps[1]))
     return float(np.mean(psnrs)), float(np.mean(ssims))
 
 
@@ -221,7 +276,12 @@ def train(
         val_sigma = (
             cfg.noise_level / 255.0 if cfg.mode == "S" else 25.0 / 255.0
         )
-        val_psnr, val_ssim = evaluate(model, variables, val_images, val_sigma)
+        # Validation sees the effective (spectrally-normalized) network —
+        # the raw parameters are just its parametrization.
+        val_psnr, val_ssim = evaluate(
+            model, effective_variables(variables, u_state, cfg), val_images,
+            val_sigma,
+        )
         rec = {
             "epoch": epoch,
             "lr": lr,
@@ -240,4 +300,6 @@ def train(
             {"variables": variables, "u_state": u_state, "epoch": epoch + 1},
             cfg.as_dict(),
         )
-    return variables, history
+    # Callers (export, the denoiser loaders) get the effective network; the
+    # checkpoints above keep the raw parametrization for exact resume.
+    return effective_variables(variables, u_state, cfg), history

@@ -196,3 +196,69 @@ class TestSpatialSharding:
         img = jnp.asarray(rng.uniform(0, 1, (32, 64)), jnp.float32)
         with pytest.raises(ValueError, match="too small"):
             denoise_spatial(lambda x: x, img, self._mesh(8), halo=16)
+
+
+class TestSpatialRunner:
+    """The halo path reachable from the public API:
+    ``run_batch(..., image_shards=k)`` (parallel/spatial.run_batch_spatial)."""
+
+    def _batched(self, h=32, bsz=4):
+        imgs = [
+            jnp.asarray(
+                np.random.default_rng(i).uniform(size=(h, h)), jnp.float32
+            )
+            for i in range(bsz)
+        ]
+        keys = jax.random.split(jax.random.PRNGKey(0), bsz)
+        from pnp_svrg_tpu.core.batched import stack_problems
+
+        return stack_problems(
+            [make_csmri(k, im, sample_prob=0.5, snr=10) for k, im in zip(keys, imgs)]
+        )
+
+    def test_nlm_image_shards_matches_unsharded(self):
+        """NLM halo semantics are exact, so the row-sharded loop must
+        reproduce the unsharded trajectory."""
+        from pnp_svrg_tpu.denoisers import NLMDenoiser
+
+        den = NLMDenoiser(sigma_modifier=1.0)
+        batched = self._batched()
+        hp = dict(eta=100.0, n_outer=2, t2=2, mini_batch_size=64)
+        plain = run_batch("svrg", batched, den, key=jax.random.PRNGKey(3), **hp)
+        shard = run_batch(
+            "svrg", batched, den, key=jax.random.PRNGKey(3), image_shards=2, **hp
+        )
+        np.testing.assert_allclose(
+            np.asarray(shard["psnr_per_iter"]),
+            np.asarray(plain["psnr_per_iter"]),
+            atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(shard["z"]), np.asarray(plain["z"]), atol=1e-4
+        )
+
+    def test_bm3d_image_shards_close_to_unsharded(self):
+        """BM3D reference grids re-anchor per shard (aggregation-weight
+        differences only); quality must match within tolerance."""
+        from pnp_svrg_tpu.denoisers import BM3DDenoiser
+        from pnp_svrg_tpu.denoisers.bm3d import BM3DParams
+
+        den = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=4, block=4))
+        batched = self._batched()
+        hp = dict(eta=100.0, n_outer=2, t2=2, mini_batch_size=64)
+        plain = run_batch("svrg", batched, den, key=jax.random.PRNGKey(3), **hp)
+        shard = run_batch(
+            "svrg", batched, den, key=jax.random.PRNGKey(3), image_shards=2, **hp
+        )
+        pf_plain = np.asarray(plain["final_psnr"])
+        pf_shard = np.asarray(shard["final_psnr"])
+        assert np.isfinite(pf_shard).all()
+        np.testing.assert_allclose(pf_shard, pf_plain, atol=0.5)
+
+    def test_unsupported_denoiser_raises(self):
+        batched = self._batched()
+        with pytest.raises(TypeError, match="no bounded"):
+            run_batch(
+                "gd", batched, TVDenoiser(sigma_modifier=1.0),
+                image_shards=2, eta=10.0, n_iters=1,
+            )

@@ -200,7 +200,7 @@ def test_adaptive_per_layer_sigma_targets():
         init_u,
         realsn_targets,
     )
-    from pnp_svrg_tpu.training.train_dncnn import TrainConfig, _sn_project
+    from pnp_svrg_tpu.training.train_dncnn import TrainConfig, effective_variables
 
     assert realsn_targets(0.3, 2) == (0.3 ** 0.5,) * 2
     with pytest.raises(ValueError):
@@ -217,7 +217,8 @@ def test_adaptive_per_layer_sigma_targets():
         for i, (name, layer) in enumerate(variables["params"].items())
         if name.startswith("Conv_")
     }
-    projected, u_state = _sn_project(variables, u_state, cfg)
-    for i, (name, layer) in enumerate(sorted(projected["params"].items())):
-        sig, _ = conv_power_iteration(layer["kernel"], u_state[name], n_iters=30)
+    eff = effective_variables(variables, u_state, cfg, n_iters=25)
+    for i, (name, layer) in enumerate(sorted(eff["params"].items())):
+        u = init_u(jax.random.fold_in(key, 100 + i), layer["kernel"].shape[-1], hw=16)
+        sig, _ = conv_power_iteration(layer["kernel"], u, n_iters=30)
         assert abs(float(sig) - sigmas[i]) / sigmas[i] < 0.05, (name, float(sig))
