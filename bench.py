@@ -14,12 +14,20 @@ Quality lanes (recorded in the same JSON line, details on stderr):
   only by coin flip, which makes the image mean unidentifiable and caps
   unlucky lanes at single-digit PSNR regardless of algorithm; see
   ``problems/csmri.py``).
+* A reference-exact-mask Set12 aggregate: the same 12 images with uniform
+  Bernoulli masks (keep_low_freq=0, the reference's exact problem,
+  ``/root/reference/problems/CSMRI.py:43-45``), per-lane tuned from
+  ``data/set12_csmri_uniform_tuned.json`` — same compiled program, quality
+  recorded as ``set12_uniform_*``.
 * The reference flagship lane — 13.png, reference-EXACT Bernoulli mask,
   p=0.5, SNR 10 (BASELINE.md CSMRI/SVRG/BM3D: 22.8 dB).
 * A PR + BM3D lane — Set12/04, alpha=0.5, SNR 20 (BASELINE.md PR table:
-  SVRG+BM3D 26.8 dB).
-* Throughput is also measured at the BM3D default search=12 (the headline
-  uses search=8, the bench fast configuration).
+  SVRG+BM3D 26.8 dB) at the tuned config of ``examples/paper_pr.py``.
+* A Deblur + BM3D lane — Set12/01 at 256x256, "Minimal" kernel, SNR 5 (the
+  reference deblur notebook's configuration, which saved no outputs; this
+  pins our own number) with final PSNR and iterations/s.
+* Throughput AND quality are both recorded at the BM3D default search=12
+  alongside the search=8 fast configuration the headline uses.
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "pnp_iters_per_sec", "vs_baseline": N, ...}
@@ -38,6 +46,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 BASELINE_ITERS_PER_SEC = 2.9  # midpoint of the reference's 2.5-3.3 it/s
 TUNED_JSON = os.path.join(os.path.dirname(__file__), "data", "set12_csmri_tuned.json")
+UNIFORM_TUNED_JSON = os.path.join(
+    os.path.dirname(__file__), "data", "set12_csmri_uniform_tuned.json"
+)
 
 
 def _sync(tree):
@@ -62,7 +73,7 @@ def main():
     from pnp_svrg_tpu.algorithms.loops import pnp_svrg
     from pnp_svrg_tpu.core.batched import stack_problems
     from pnp_svrg_tpu.denoisers.bm3d import BM3DDenoiser, BM3DParams
-    from pnp_svrg_tpu.problems import make_csmri, make_phase_retrieval
+    from pnp_svrg_tpu.problems import make_csmri, make_deblur, make_phase_retrieval
     from pnp_svrg_tpu.utils.io import set12_paths, load_image, resolve_data_path
 
     h = w = 128
@@ -103,12 +114,12 @@ def main():
         eta = jnp.full((bsz,), 6000.0, jnp.float32)
         mod = jnp.full((bsz,), 1.0, jnp.float32)
 
-    def run(problem_batch, key, search):
-        den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(search=search))
+    def run(problem_batch, key, search, eta_v, mod_v):
+        den = BM3DDenoiser(sigma_modifier=mod_v, params=BM3DParams(search=search))
         out = pnp_svrg(
             problem_batch,
             den,
-            eta=eta,
+            eta=eta_v,
             n_outer=n_outer,
             t2=t2,
             mini_batch_size=mb,
@@ -118,11 +129,11 @@ def main():
 
     def timed(search):
         t0 = time.time()
-        out = run(batched, jax.random.PRNGKey(1), search)
+        out = run(batched, jax.random.PRNGKey(1), search, eta, mod)
         _sync(out)
         first = time.time() - t0
         t0 = time.time()
-        out = run(batched, jax.random.PRNGKey(2), search)
+        out = run(batched, jax.random.PRNGKey(2), search, eta, mod)
         _sync(out)
         return out, time.time() - t0, first
 
@@ -135,12 +146,14 @@ def main():
     its_per_sec_12 = image_iters / steady12
     psnrs = np.asarray(out["final_psnr"])
     set12_psnrs = psnrs[:n_set12]
+    psnrs12 = np.asarray(out12["final_psnr"])[:n_set12]  # quality @ search=12
     flagship = float(psnrs[-1])
 
     print(
         f"bench: {bsz} images x {iters} iters, steady {steady:.2f}s "
         f"(first+compile {compile_and_first:.1f}s; search=12 steady "
-        f"{steady12:.2f}s = {its_per_sec_12:.0f} it/s), Set12 mean final "
+        f"{steady12:.2f}s = {its_per_sec_12:.0f} it/s at mean "
+        f"{psnrs12.mean():.2f} dB), Set12 mean final "
         f"PSNR {set12_psnrs.mean():.2f} dB min {set12_psnrs.min():.2f} dB "
         f"(per-image: {psnrs.round(2).tolist()})",
         file=sys.stderr,
@@ -151,13 +164,44 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- Reference-exact-mask Set12 aggregate (uniform Bernoulli) ---------
+    # Same batch shapes/keys as the headline run -> the compiled program is
+    # reused; only the mask data and the per-lane tuned (eta, mod) differ.
+    set12_uniform_mean = set12_uniform_min = None
+    if os.path.exists(UNIFORM_TUNED_JSON):
+        with open(UNIFORM_TUNED_JSON) as f:
+            utuned = json.load(f)
+        uproblems = [
+            make_csmri(
+                k, jnp.asarray(load_image(p, h, w)), sample_prob=0.5, snr=10,
+                keep_low_freq=0,
+            )
+            for k, p in zip(keys, paths)
+        ]
+        out_u = run(
+            stack_problems(uproblems), jax.random.PRNGKey(2), 8,
+            jnp.asarray(utuned["eta"], jnp.float32),
+            jnp.asarray(utuned["sigma_modifier"], jnp.float32),
+        )
+        upsnrs = np.asarray(out_u["final_psnr"])[:n_set12]
+        set12_uniform_mean = float(upsnrs.mean())
+        set12_uniform_min = float(upsnrs.min())
+        print(
+            f"bench quality: Set12 uniform (reference-exact) masks mean "
+            f"{set12_uniform_mean:.2f} dB min {set12_uniform_min:.2f} dB "
+            f"(per-image: {upsnrs.round(2).tolist()})",
+            file=sys.stderr,
+        )
+
     # ---- PR + BM3D quality lane (BASELINE.md PR table: 26.8 dB) -----------
+    # Tuned config from examples/paper_pr.py (auto): n_outer=20,
+    # lr_decay=0.99 — clears the reference's 26.8 dB with margin.
     img04 = jnp.asarray(load_image(resolve_data_path("Set12/04.png"), h, w))
     pr = make_phase_retrieval(jax.random.PRNGKey(4), img04, num_meas=8192, snr=20)
     den_pr = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=8))
     pr_out = pnp_svrg(
-        pr, den_pr, eta=0.2, n_outer=10, t2=8, mini_batch_size=800,
-        key=jax.random.PRNGKey(5),
+        pr, den_pr, eta=0.2, n_outer=20, t2=8, mini_batch_size=800,
+        lr_decay=0.99, key=jax.random.PRNGKey(5),
     )
     pr_psnr = float(np.asarray(pr_out["final_psnr"]))
     print(
@@ -166,23 +210,57 @@ def main():
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "set12_csmri_128_svrg_bm3d_image_iters_per_sec",
-                "value": round(its_per_sec, 2),
-                "unit": "pnp_iters_per_sec",
-                "vs_baseline": round(its_per_sec / BASELINE_ITERS_PER_SEC, 2),
-                "iters_per_sec_bm3d_search12": round(its_per_sec_12, 2),
-                "set12_mean_psnr_db": round(float(set12_psnrs.mean()), 2),
-                "set12_min_psnr_db": round(float(set12_psnrs.min()), 2),
-                "flagship_13png_psnr_db": round(flagship, 2),
-                "flagship_ref_psnr_db": 22.8,
-                "pr_bm3d_psnr_db": round(pr_psnr, 2),
-                "pr_bm3d_ref_psnr_db": 26.8,
-            }
-        )
+    # ---- Deblur + BM3D lane (reference deblur notebook config, no saved
+    # outputs upstream — this pins our own quality + throughput numbers) ----
+    img01 = jnp.asarray(load_image(resolve_data_path("Set12/01.png"), 256, 256))
+    dprob = make_deblur(
+        jax.random.PRNGKey(0), img01, kernel="Minimal", scale_percent=100, snr=5
     )
+    den_db = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=8))
+    db_outer, db_t2 = 4, 6
+
+    def run_deblur(key):
+        return pnp_svrg(
+            dprob, den_db, eta=2e9, n_outer=db_outer, t2=db_t2,
+            mini_batch_size=5000, lr_decay=0.6, key=key,
+        )
+
+    db_out = run_deblur(jax.random.PRNGKey(1))
+    _sync(db_out["final_psnr"])
+    t0 = time.time()
+    db_out = run_deblur(jax.random.PRNGKey(2))
+    _sync(db_out["final_psnr"])
+    db_steady = time.time() - t0
+    db_iters = db_outer * (db_t2 + 1)
+    db_psnr = float(np.asarray(db_out["final_psnr"]))
+    db_its_per_sec = db_iters / db_steady
+    print(
+        f"bench quality: Deblur+BM3D (Set12/01 256^2, Minimal kernel, SNR 5) "
+        f"{db_psnr:.2f} dB, {db_its_per_sec:.0f} it/s "
+        f"(reference saved no outputs for this experiment)",
+        file=sys.stderr,
+    )
+
+    record = {
+        "metric": "set12_csmri_128_svrg_bm3d_image_iters_per_sec",
+        "value": round(its_per_sec, 2),
+        "unit": "pnp_iters_per_sec",
+        "vs_baseline": round(its_per_sec / BASELINE_ITERS_PER_SEC, 2),
+        "iters_per_sec_bm3d_search12": round(its_per_sec_12, 2),
+        "set12_mean_psnr_db": round(float(set12_psnrs.mean()), 2),
+        "set12_min_psnr_db": round(float(set12_psnrs.min()), 2),
+        "set12_search12_mean_psnr_db": round(float(psnrs12.mean()), 2),
+        "flagship_13png_psnr_db": round(flagship, 2),
+        "flagship_ref_psnr_db": 22.8,
+        "pr_bm3d_psnr_db": round(pr_psnr, 2),
+        "pr_bm3d_ref_psnr_db": 26.8,
+        "deblur_bm3d_psnr_db": round(db_psnr, 2),
+        "deblur_iters_per_sec": round(db_its_per_sec, 2),
+    }
+    if set12_uniform_mean is not None:
+        record["set12_uniform_mean_psnr_db"] = round(set12_uniform_mean, 2)
+        record["set12_uniform_min_psnr_db"] = round(set12_uniform_min, 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
