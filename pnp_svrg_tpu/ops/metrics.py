@@ -58,8 +58,17 @@ def _filter2d_separable(img: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
     kr = kj.reshape(1, 1, -1, 1)
     kc = kj.reshape(1, 1, 1, -1)
     dn = ("NCHW", "OIHW", "NCHW")
-    x = jax.lax.conv_general_dilated(x, kr, (1, 1), "VALID", dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kc, (1, 1), "VALID", dimension_numbers=dn)
+    # HIGHEST precision: TPU convs default to bf16 accumulation, and SSIM's
+    # variance terms are catastrophic cancellations (f(a^2) - mu^2) — with
+    # default precision the TPU returned SSIM "means" of 1.27 and 7.9 for a
+    # metric bounded by 1.
+    hi = jax.lax.Precision.HIGHEST
+    x = jax.lax.conv_general_dilated(
+        x, kr, (1, 1), "VALID", dimension_numbers=dn, precision=hi
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kc, (1, 1), "VALID", dimension_numbers=dn, precision=hi
+    )
     return x.reshape(lead + x.shape[-2:])
 
 
