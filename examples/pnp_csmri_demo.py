@@ -1,6 +1,13 @@
 """Standalone CSMRI demo — equivalent of the reference's ``pnp_csmri.py``:
-CSMRI on 13.png (256x256, p=0.5, SNR 30), DnCNN denoiser, GD vs SGD vs SVRG
-comparison figure.
+CSMRI on 13.png (256x256, p=0.5, SNR 30), RealSN-DnCNN sigma=5 denoiser
+(reference ``pnp_csmri.py:21``, ``denoisers/RealSN_DnCNN.py:8-42``), GD vs
+SGD vs SVRG comparison figure.
+
+The RealSN weights are trained BY THIS FRAMEWORK (``examples/
+train_realsn.py --lip 0.3 --noiseL 5 --export realsn_dncnn_noise5``; the
+upstream ``RealSN_DnCNN_noise5.pth`` blob is missing from the reference
+checkout). Falls back to the converted plain-DnCNN checkpoint when the
+trained file is absent.
 
 Usage: python examples/pnp_csmri_demo.py [--cpu] [--small] [--out demo.png]
 """
@@ -31,7 +38,15 @@ def main(argv=None):
     h = 128 if args.small else 256
     img = load_image("13.png", h, h)
     prob = make_csmri(jax.random.PRNGKey(0), img, sample_prob=0.5, snr=30)
-    den = DnCNNDenoiser.from_pretrained("DnCNN", 5)
+    try:
+        # The reference demo's denoiser: RealSN_DnCNN sigma=5, here on
+        # weights this framework trained (Lipschitz-0.3 RealSN recipe).
+        den = DnCNNDenoiser.from_pretrained("RealSN_DnCNN", 5)
+        print("denoiser: RealSN_DnCNN sigma=5 (framework-trained)")
+    except FileNotFoundError:
+        den = DnCNNDenoiser.from_pretrained("DnCNN", 5)
+        print("denoiser: DnCNN sigma=5 (realsn_dncnn_noise5.npz not found — "
+              "train it with examples/train_realsn.py --export)")
     key = jax.random.PRNGKey(1)
 
     n = h * h
