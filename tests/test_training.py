@@ -114,6 +114,60 @@ class TestTrainEndToEnd:
         )
         assert hist2 == []
 
+    def test_realsn_training_beats_zero_predictor(self):
+        """Regression for the round-3 collapse: with the spectral-norm
+        constraint active (lip>0, BN on), training must beat the
+        zero-residual predictor, whose loss is exactly
+        ``HW sigma^2 / 2``. Both failure modes — post-step projection
+        (multiplicative shrinkage compounding into the weights) and a BN
+        clamp at 1.0 (BN forbidden from re-amplifying SN-shrunk
+        activations) — pinned the loss AT the zero-predictor value."""
+        import jax
+        import optax
+
+        from pnp_svrg_tpu.models.dncnn import DnCNN
+        from pnp_svrg_tpu.models.spectral_norm import init_u
+        from pnp_svrg_tpu.training.train_dncnn import TrainConfig, make_train_step
+
+        sigma = 50.0
+        cfg = TrainConfig(depth=3, features=8, use_bn=True, lip=0.5,
+                          noise_level=sigma, batch_size=16, sn_probe_hw=16)
+        model = DnCNN(channels=1, depth=3, features=8, use_bn=True)
+        key = jax.random.PRNGKey(0)
+        variables = dict(model.init(key, jnp.zeros((1, 16, 16, 1)), train=False))
+        tx = optax.inject_hyperparams(optax.adam)(learning_rate=2e-3)
+        opt_state = tx.init(variables["params"])
+        u_state = {
+            n: init_u(jax.random.fold_in(key, i), l["kernel"].shape[-1], hw=16)
+            for i, (n, l) in enumerate(variables["params"].items())
+            if n.startswith("Conv_")
+        }
+        step = make_train_step(model, tx, cfg)
+        rng = np.random.default_rng(0)
+        xx, yy = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 16))
+        pool = np.stack([
+            np.sin(5 * xx + p) * np.cos(4 * yy + q) * 0.4 + 0.5
+            for p in np.linspace(0, 3, 16) for q in np.linspace(0, 3, 16)
+        ])
+        losses = []
+        for _ in range(200):
+            sel = rng.integers(0, len(pool), 16)
+            clean = pool[sel][..., None].astype(np.float32)
+            noise = (sigma / 255.0 * rng.standard_normal(clean.shape)).astype(
+                np.float32
+            )
+            variables, opt_state, u_state, loss = step(
+                variables, opt_state, u_state,
+                jnp.asarray(clean + noise), jnp.asarray(noise),
+            )
+            losses.append(float(loss))
+        zero_pred = 16 * 16 * (sigma / 255.0) ** 2 / 2
+        # The dead-model failure sits AT zero_pred; a learning model is
+        # far below it (measured ~1.1 vs 4.9 at this budget).
+        assert np.mean(losses[-10:]) < 0.6 * zero_pred, (
+            np.mean(losses[-10:]), zero_pred,
+        )
+
     def test_realsn_constraint_bounds_sigma(self, tmp_path):
         from pnp_svrg_tpu.models.spectral_norm import conv_power_iteration, init_u
         import jax
