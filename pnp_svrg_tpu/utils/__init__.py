@@ -15,6 +15,7 @@ from pnp_svrg_tpu.utils.viz import (
     display_results,
     show_grid,
     gif,
+    plot_training_curves,
     reconstruct_rgb,
     summarize_results,
     write_metrics_csv,
@@ -36,6 +37,7 @@ __all__ = [
     "display_results",
     "show_grid",
     "gif",
+    "plot_training_curves",
     "reconstruct_rgb",
     "summarize_results",
     "write_metrics_csv",

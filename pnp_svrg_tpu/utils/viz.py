@@ -91,6 +91,56 @@ def display_results(
     return summary
 
 
+def plot_training_curves(
+    jsonl_path: str | Path,
+    out_path: str | Path | None = None,
+    show: bool = False,
+):
+    """Training-dashboard replacement: loss / val-PSNR / val-SSIM / LR curves
+    from a training run's ``scalars.jsonl``.
+
+    The reference drives a LIVE matplotlib dashboard from inside its training
+    loop (reference ``denoisers/cnn/cnn.py:175-246``); here training emits
+    JSONL scalars (``training/train_dncnn.py``) and this renders them
+    after-the-fact or mid-run (the file is append-only). Returns the figure.
+    """
+    import json
+
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    recs = [json.loads(l) for l in open(jsonl_path) if l.strip()]
+    if not recs:
+        raise ValueError(f"no records in {jsonl_path}")
+    epochs = [r["epoch"] for r in recs]
+    fig, axes = plt.subplots(1, 4, figsize=(16, 3.6))
+    panels = [
+        ("train_loss", "train loss", {"yscale": "log"}),
+        ("val_psnr", "val PSNR (dB)", {}),
+        ("val_ssim", "val SSIM", {}),
+        ("lr", "learning rate", {"yscale": "log"}),
+    ]
+    for ax, (key, title, opts) in zip(axes, panels):
+        ax.plot(epochs, [r.get(key, float("nan")) for r in recs], marker="o")
+        ax.set_title(title)
+        ax.set_xlabel("epoch")
+        if opts.get("yscale"):
+            ax.set_yscale(opts["yscale"])
+        ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    if out_path:
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(out_path, dpi=130, bbox_inches="tight")
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig
+
+
 def show_grid(images, titles=None, ncols=4, color_map="gray", show=False):
     """Grid display helper (reference ``utils.py:show_grid``)."""
     import matplotlib

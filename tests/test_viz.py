@@ -91,3 +91,24 @@ def test_reconstruct_rgb_improves_over_init():
     mse_i = np.mean((init - orig) ** 2)
     mse_r = np.mean((recon - orig) ** 2)
     assert mse_r < mse_i
+
+
+def test_plot_training_curves(tmp_path):
+    """The training-dashboard replacement renders curves from a run's
+    scalars.jsonl (reference live dashboard: cnn/cnn.py:175-246)."""
+    import json
+
+    from pnp_svrg_tpu.utils.viz import plot_training_curves
+
+    jsonl = tmp_path / "scalars.jsonl"
+    with open(jsonl, "w") as f:
+        for e in range(3):
+            f.write(json.dumps({
+                "epoch": e, "lr": 1e-3 / (10 if e >= 2 else 1),
+                "train_loss": 1.0 / (e + 1), "val_psnr": 30.0 + e,
+                "val_ssim": 0.8 + 0.01 * e, "seconds": 10.0,
+            }) + "\n")
+    out = tmp_path / "curves.png"
+    fig = plot_training_curves(jsonl, out_path=out)
+    assert out.exists() and out.stat().st_size > 1000
+    assert len(fig.axes) == 4
