@@ -58,6 +58,14 @@ class BM3DParams:
     group_wie: int = 16  # group size, Wiener stage
     lam: float = 2.7  # hard threshold = lam * sigma
     kaiser_beta: float = 2.0
+    # Block-matching cost knobs (selection-only precision — the filtering
+    # math is always f32):
+    match_dtype: str = "float32"  # "bfloat16" halves the HBM traffic of the
+    # per-offset squared-difference tensors and doubles MXU rate on the
+    # banded contractions; distances only rank candidates, so sub-0.5%
+    # distance error flips near-ties at most
+    topk: str = "exact"  # "approx" = jax.lax.approx_min_k (the TPU's
+    # hardware-backed k-selection; exact lowering on CPU)
 
 
 def _ref_grid(size: int, block: int, step: int) -> np.ndarray:
@@ -91,12 +99,18 @@ def _band_select(size: int, grid: tuple, block: int) -> np.ndarray:
     return s
 
 
-def _top_k_offsets(dists: jnp.ndarray, k: int) -> jnp.ndarray:
+def _top_k_offsets(dists: jnp.ndarray, k: int, method: str = "exact") -> jnp.ndarray:
     """Indices of the k smallest distances along the last axis, ascending.
 
-    Iterative extract-and-mask: k argmin passes over (…, S). Measured ~30%
-    faster than the sort-based ``lax.top_k`` lowering on v5e for S=289 and
-    selects the identical set (ties break by lowest index)."""
+    ``method="exact"``: iterative extract-and-mask — k argmin passes over
+    (…, S). Measured ~30% faster than the sort-based ``lax.top_k`` lowering
+    on v5e for S=289 and selects the identical set (ties break by lowest
+    index). ``method="approx"``: ``jax.lax.approx_min_k`` — the TPU's
+    PartialReduce k-selection, one pass instead of k; recall ~0.95 flips
+    only distance near-ties (CPU lowering is exact)."""
+    if method == "approx":
+        _, idx = jax.lax.approx_min_k(dists, k)
+        return idx
     iota = jax.lax.broadcasted_iota(jnp.int32, dists.shape, dists.ndim - 1)
     idxs = []
     for _ in range(k):
@@ -107,7 +121,8 @@ def _top_k_offsets(dists: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _match_distances(
-    imgs, rows, cols, offsets, block, chunk: int = 72, row_valid_bounds=None
+    imgs, rows, cols, offsets, block, chunk: int = 72, row_valid_bounds=None,
+    match_dtype: str = "float32",
 ):
     """Patch SSD between each reference block and each offset candidate.
 
@@ -129,10 +144,16 @@ def _match_distances(
     # showed reduce_window over the FULL (H-b+1, W-b+1) map followed by grid
     # slicing wasted ~15x work (the grid keeps ~1/16 of positions) and cost
     # ~7 ms/call at batch 13; the fused contractions run on the MXU.
-    sel_h = jnp.asarray(_band_select(h, tuple(rows_np.tolist()), block))
-    sel_w = jnp.asarray(_band_select(w, tuple(cols_np.tolist()), block))
+    mdt = jnp.dtype(match_dtype)
+    sel_h = jnp.asarray(_band_select(h, tuple(rows_np.tolist()), block), mdt)
+    sel_w = jnp.asarray(_band_select(w, tuple(cols_np.tolist()), block), mdt)
     r = int(np.abs(offsets).max())
-    padded = jnp.pad(imgs, ((0, 0), (r, r), (r, r)))
+    # match_dtype="bfloat16": the squared-difference tensors (the biggest
+    # HBM objects in the kernel, (B, chunk, H, W)) and the banded
+    # contractions run in bf16 with f32 accumulation — distances only RANK
+    # candidates, the filtering math stays f32.
+    imgs_m = imgs.astype(mdt)
+    padded = jnp.pad(imgs_m, ((0, 0), (r, r), (r, r)))
     parts = []
     for start in range(0, len(offsets), chunk):
         offs = offsets[start : start + chunk]
@@ -140,7 +161,7 @@ def _match_distances(
             [padded[:, r + dy : r + dy + h, r + dx : r + dx + w] for dy, dx in offs],
             axis=1,
         )  # (B, c, H, W)
-        sq = (imgs[:, None] - shifted) ** 2
+        sq = (imgs_m[:, None] - shifted) ** 2
         d = jnp.einsum(
             "hi,bchw,wj->bijc",
             sel_h,
@@ -311,9 +332,10 @@ def bm3d_denoise_batch(
     # ---- Stage 1: hard thresholding --------------------------------------
     t3_ht = jnp.asarray(np.kron(hadamard_matrix(p.group_ht), d2d_np))
     dists = _match_distances(
-        x, rows, cols, offsets, p.block, row_valid_bounds=row_valid_bounds
+        x, rows, cols, offsets, p.block, row_valid_bounds=row_valid_bounds,
+        match_dtype=p.match_dtype,
     )
-    top_idx = _top_k_offsets(dists, p.group_ht)
+    top_idx = _top_k_offsets(dists, p.group_ht, p.topk)
     groups, py, px = _gather_groups(x, rows, cols, offsets, top_idx, p.block)
     coeffs = _transform_3d(groups.reshape(*groups.shape[:3], -1), t3_ht)
     keep = jnp.abs(coeffs) > p.lam * sig_c
@@ -330,9 +352,10 @@ def bm3d_denoise_batch(
     # ---- Stage 2: Wiener filtering with the basic estimate as pilot ------
     t3_w = jnp.asarray(np.kron(hadamard_matrix(p.group_wie), d2d_np))
     dists2 = _match_distances(
-        basic, rows, cols, offsets, p.block, row_valid_bounds=row_valid_bounds
+        basic, rows, cols, offsets, p.block, row_valid_bounds=row_valid_bounds,
+        match_dtype=p.match_dtype,
     )
-    top_idx2 = _top_k_offsets(dists2, p.group_wie)
+    top_idx2 = _top_k_offsets(dists2, p.group_wie, p.topk)
     g_basic, py2, px2 = _gather_groups(basic, rows, cols, offsets, top_idx2, p.block)
     g_noisy, _, _ = _gather_groups(x, rows, cols, offsets, top_idx2, p.block)
     c_basic = _transform_3d(g_basic.reshape(*g_basic.shape[:3], -1), t3_w)

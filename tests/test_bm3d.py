@@ -151,3 +151,44 @@ class TestDenoise:
         d0 = float(jnp.mean((out[0] - noisy[0]) ** 2))
         d1 = float(jnp.mean((out[1] - noisy[1]) ** 2))
         assert d1 < d0
+
+
+class TestMatchingCostKnobs:
+    """Selection-only precision options (BM3DParams.match_dtype / .topk):
+    the filtering math is always f32, so outputs must stay equivalent."""
+
+    def _noisy(self, rng, h=48, w=48, sigma=0.1):
+        xx, yy = np.meshgrid(np.linspace(0, 1, w), np.linspace(0, 1, h))
+        clean = (np.sin(6 * xx) * np.cos(5 * yy) * 0.4 + 0.5).astype(np.float32)
+        return clean, clean + sigma * rng.standard_normal((h, w)).astype(np.float32)
+
+    def test_approx_topk_matches_exact_on_cpu(self, rng):
+        """approx_min_k lowers to exact selection on CPU, so the output must
+        be identical up to distance near-ties (tight tolerance)."""
+        from pnp_svrg_tpu.denoisers.bm3d import BM3DParams, bm3d_denoise
+
+        clean, noisy = self._noisy(rng)
+        ref = np.asarray(bm3d_denoise(jnp.asarray(noisy), 0.1,
+                                      params=BM3DParams(search=6)))
+        got = np.asarray(bm3d_denoise(jnp.asarray(noisy), 0.1,
+                                      params=BM3DParams(search=6, topk="approx")))
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    def test_bf16_matching_quality_preserved(self, rng):
+        """bf16 distances may flip near-ties; the denoised output must stay
+        close and the denoising quality (MSE vs clean) equivalent."""
+        from pnp_svrg_tpu.denoisers.bm3d import BM3DParams, bm3d_denoise
+
+        clean, noisy = self._noisy(rng)
+        ref = np.asarray(bm3d_denoise(jnp.asarray(noisy), 0.1,
+                                      params=BM3DParams(search=6)))
+        got = np.asarray(bm3d_denoise(
+            jnp.asarray(noisy), 0.1,
+            params=BM3DParams(search=6, match_dtype="bfloat16"),
+        ))
+        mse_ref = float(np.mean((ref - clean) ** 2))
+        mse_got = float(np.mean((got - clean) ** 2))
+        mse_noisy = float(np.mean((noisy - clean) ** 2))
+        assert mse_got < 0.5 * mse_noisy  # still clearly denoises
+        assert mse_got < mse_ref * 1.05  # quality within 5% of exact
+        assert float(np.abs(got - ref).mean()) < 5e-3
