@@ -1,0 +1,111 @@
+"""Tune the bench's Deblur + BM3D lane (Set12/01 at 256x256, "Minimal"
+kernel, SNR 5 — the reference deblur notebook's configuration,
+``create_paper_figures_deblur.ipynb`` cells 4-7; it saved no outputs, so
+this pins OUR number as high as the config family allows).
+
+Same batched-grid trick as ``tune_pr.py``: C copies of the exact bench
+problem share one compiled program and carry per-lane traced
+(eta, lr_decay, sigma_modifier). Deblur under PnP is semi-convergent
+(PSNR peaks then decays — see ``paper_deblur.py``), so the iteration
+budget (n_outer, t2) matters as much as the step size; both are swept as
+static axes.
+
+Run on the real TPU: python examples/tune_deblur.py
+"""
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--etas", type=float, nargs="+",
+                        default=[5e8, 2e9, 8e9])
+    parser.add_argument("--decays", type=float, nargs="+",
+                        default=[0.5, 0.6, 0.75, 0.9])
+    parser.add_argument("--mods", type=float, nargs="+",
+                        default=[0.7, 1.0, 1.4])
+    parser.add_argument("--budgets", type=int, nargs=2, action="append",
+                        default=None, metavar=("N_OUTER", "T2"))
+    parser.add_argument("--mb", type=int, default=5000)
+    parser.add_argument("--chunk", type=int, default=9)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+    budgets = args.budgets or [(4, 6), (6, 8)]
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from pnp_svrg_tpu.algorithms.loops import pnp_svrg
+    from pnp_svrg_tpu.core.batched import stack_problems
+    from pnp_svrg_tpu.denoisers.bm3d import BM3DDenoiser, BM3DParams
+    from pnp_svrg_tpu.problems import make_deblur
+    from pnp_svrg_tpu.utils.io import load_image, resolve_data_path
+
+    h = args.size
+    img = jnp.asarray(load_image(resolve_data_path("Set12/01.png"), h, h))
+
+    configs = list(itertools.product(args.etas, args.decays, args.mods))
+    C = args.chunk
+    while len(configs) % C:
+        configs.append(configs[-1])
+
+    def eval_batch(n_outer, t2, chunk):
+        probs = [
+            make_deblur(jax.random.PRNGKey(0), img, kernel="Minimal",
+                        scale_percent=100, snr=5)
+            for _ in chunk
+        ]
+        batched = stack_problems(probs)
+        eta = jnp.asarray([c[0] for c in chunk], jnp.float32)
+        dec = jnp.asarray([c[1] for c in chunk], jnp.float32)
+        mod = jnp.asarray([c[2] for c in chunk], jnp.float32)
+        den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(search=8))
+        out = pnp_svrg(
+            batched, den, eta=eta, n_outer=n_outer, t2=t2,
+            mini_batch_size=args.mb, lr_decay=dec, key=jax.random.PRNGKey(2),
+        )
+        return np.asarray(out["final_psnr"], float)
+
+    best = (-1e9, None)
+    for n_outer, t2 in budgets:
+        for i in range(0, len(configs), C):
+            chunk = configs[i : i + C]
+            t0 = time.time()
+            psnr = eval_batch(n_outer, t2, chunk)
+            for (eta, dec, mod), p in zip(chunk, psnr):
+                if p > best[0]:
+                    best = (float(p), dict(eta=eta, lr_decay=dec,
+                                           sigma_modifier=mod,
+                                           n_outer=n_outer, t2=t2,
+                                           mini_batch_size=args.mb))
+            print(
+                f"[outer={n_outer} t2={t2}] chunk {i // C}: best in chunk "
+                f"{psnr.max():.2f} dB (running best {best[0]:.2f}) "
+                f"({time.time() - t0:.1f}s)",
+                file=sys.stderr,
+            )
+    print(f"winner: {best[0]:.2f} dB  config={best[1]}", file=sys.stderr)
+    print(json.dumps({"psnr_db": best[0], **best[1]}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"psnr_db": best[0], **best[1]}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Tune the bench's PR + BM3D quality lane (BASELINE.md PR table: SVRG+BM3D
+26.8 dB; reference ``create_paper_figures_pr.ipynb`` cells 9-10).
+
+The bench lane (bench.py) is Set12/04 at 128x128, alpha=0.5 (8192
+measurements), SNR 20, problem key PRNGKey(4), run key PRNGKey(5). This
+tuner stacks C copies of that EXACT problem into one batched run and
+evaluates C (eta, lr_decay, sigma_modifier) configurations per compiled
+program — the loops take per-lane traced hyperparameters, so a whole grid
+costs one PR run's wall time per (n_outer, t2) static pair.
+
+Run on the real TPU: python examples/tune_pr.py
+"""
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--size", type=int, default=128)
+    parser.add_argument("--num-meas", type=int, default=8192)
+    parser.add_argument("--etas", type=float, nargs="+",
+                        default=[0.1, 0.15, 0.2, 0.3])
+    parser.add_argument("--decays", type=float, nargs="+",
+                        default=[0.985, 0.99, 1.0])
+    parser.add_argument("--mods", type=float, nargs="+",
+                        default=[0.8, 1.0, 1.3])
+    parser.add_argument("--outers", type=int, nargs="+", default=[20, 30])
+    parser.add_argument("--t2", type=int, default=8)
+    parser.add_argument("--mb", type=int, default=800)
+    parser.add_argument("--out", default=None,
+                        help="optional JSON path for the winning config")
+    args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from pnp_svrg_tpu.algorithms.loops import pnp_svrg
+    from pnp_svrg_tpu.core.batched import stack_problems
+    from pnp_svrg_tpu.denoisers.bm3d import BM3DDenoiser, BM3DParams
+    from pnp_svrg_tpu.problems import make_phase_retrieval
+    from pnp_svrg_tpu.utils.io import load_image, resolve_data_path
+
+    h = args.size
+    img = jnp.asarray(load_image(resolve_data_path("Set12/04.png"), h, h))
+
+    configs = list(itertools.product(args.etas, args.decays, args.mods))
+
+    def eval_batch(n_outer, chunk):
+        # C identical copies of the bench problem; per-lane hyperparameters.
+        probs = [
+            make_phase_retrieval(
+                jax.random.PRNGKey(4), img, num_meas=args.num_meas, snr=20
+            )
+            for _ in chunk
+        ]
+        batched = stack_problems(probs)
+        eta = jnp.asarray([c[0] for c in chunk], jnp.float32)
+        dec = jnp.asarray([c[1] for c in chunk], jnp.float32)
+        mod = jnp.asarray([c[2] for c in chunk], jnp.float32)
+        den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(search=8))
+        out = pnp_svrg(
+            batched, den, eta=eta, n_outer=n_outer, t2=args.t2,
+            mini_batch_size=args.mb, lr_decay=dec, key=jax.random.PRNGKey(5),
+        )
+        return np.asarray(out["final_psnr"], float)
+
+    best = (-1e9, None)
+    # Fixed chunk size so every (n_outer, chunk) pair reuses one compiled
+    # program per n_outer (jit keys on shapes, not values).
+    C = 12
+    while len(configs) % C:
+        configs.append(configs[-1])
+    for n_outer in args.outers:
+        for i in range(0, len(configs), C):
+            chunk = configs[i : i + C]
+            t0 = time.time()
+            psnr = eval_batch(n_outer, chunk)
+            for (eta, dec, mod), p in zip(chunk, psnr):
+                if p > best[0]:
+                    best = (float(p), dict(eta=eta, lr_decay=dec,
+                                           sigma_modifier=mod,
+                                           n_outer=n_outer, t2=args.t2,
+                                           mini_batch_size=args.mb))
+            print(
+                f"[outer={n_outer}] chunk {i // C}: best in chunk "
+                f"{psnr.max():.2f} dB (running best {best[0]:.2f}) "
+                f"({time.time() - t0:.1f}s)",
+                file=sys.stderr,
+            )
+    print(f"winner: {best[0]:.2f} dB  config={best[1]}", file=sys.stderr)
+    print(json.dumps({"psnr_db": best[0], **best[1]}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"psnr_db": best[0], **best[1]}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
