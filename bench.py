@@ -28,6 +28,10 @@ Quality lanes (recorded in the same JSON line, details on stderr):
   pins our own number) with final PSNR and iterations/s.
 * Throughput AND quality are both recorded at the BM3D default search=12
   alongside the search=8 fast configuration the headline uses.
+* The headline run uses bfloat16 block-matching distances (selection-only
+  precision; filtering stays f32) — the operating point picked from the
+  measured knob matrix ``data/bm3d_knobs_v5e.json``; the f32-match numbers
+  are recorded alongside (``iters_per_sec_f32_match``).
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "pnp_iters_per_sec", "vs_baseline": N, ...}
@@ -114,8 +118,11 @@ def main():
         eta = jnp.full((bsz,), 6000.0, jnp.float32)
         mod = jnp.full((bsz,), 1.0, jnp.float32)
 
-    def run(problem_batch, key, search, eta_v, mod_v):
-        den = BM3DDenoiser(sigma_modifier=mod_v, params=BM3DParams(search=search))
+    def run(problem_batch, key, search, eta_v, mod_v, match_dtype="float32"):
+        den = BM3DDenoiser(
+            sigma_modifier=mod_v,
+            params=BM3DParams(search=search, match_dtype=match_dtype),
+        )
         out = pnp_svrg(
             problem_batch,
             den,
@@ -127,31 +134,43 @@ def main():
         )
         return {k: out[k] for k in ("z", "psnr_per_iter", "final_psnr")}
 
-    def timed(search):
+    def timed(search, match_dtype="float32"):
         t0 = time.time()
-        out = run(batched, jax.random.PRNGKey(1), search, eta, mod)
+        out = run(batched, jax.random.PRNGKey(1), search, eta, mod, match_dtype)
         _sync(out)
         first = time.time() - t0
         t0 = time.time()
-        out = run(batched, jax.random.PRNGKey(2), search, eta, mod)
+        out = run(batched, jax.random.PRNGKey(2), search, eta, mod, match_dtype)
         _sync(out)
         return out, time.time() - t0, first
 
-    out, steady, compile_and_first = timed(8)
+    # Headline operating point: search=8 with bfloat16 block-matching
+    # distances (selection-only precision — the filtering math stays f32).
+    # The full knob matrix measured on v5e (tools/measure_bm3d_knobs.py,
+    # data/bm3d_knobs_v5e.json): bf16 matching is +6.5-7.4% it/s at
+    # statistically unchanged PSNR; lax.approx_min_k is SLOWER than the
+    # iterative exact k-argmin at every config (S<=625, K=16), so topk
+    # stays "exact".
+    out, steady, compile_and_first = timed(8, "bfloat16")
+    out_f32, steady_f32, _ = timed(8, "float32")
     out12, steady12, _ = timed(12)
 
     iters = n_outer * (t2 + 1)  # inner steps + snapshot entries, ref layout
     image_iters = bsz * iters
     its_per_sec = image_iters / steady
+    its_per_sec_f32 = image_iters / steady_f32
     its_per_sec_12 = image_iters / steady12
     psnrs = np.asarray(out["final_psnr"])
     set12_psnrs = psnrs[:n_set12]
+    psnrs_f32 = np.asarray(out_f32["final_psnr"])[:n_set12]
     psnrs12 = np.asarray(out12["final_psnr"])[:n_set12]  # quality @ search=12
     flagship = float(psnrs[-1])
 
     print(
         f"bench: {bsz} images x {iters} iters, steady {steady:.2f}s "
-        f"(first+compile {compile_and_first:.1f}s; search=12 steady "
+        f"(first+compile {compile_and_first:.1f}s; f32-match steady "
+        f"{steady_f32:.2f}s = {its_per_sec_f32:.0f} it/s at mean "
+        f"{psnrs_f32.mean():.2f} dB; search=12 steady "
         f"{steady12:.2f}s = {its_per_sec_12:.0f} it/s at mean "
         f"{psnrs12.mean():.2f} dB), Set12 mean final "
         f"PSNR {set12_psnrs.mean():.2f} dB min {set12_psnrs.min():.2f} dB "
@@ -246,6 +265,8 @@ def main():
         "value": round(its_per_sec, 2),
         "unit": "pnp_iters_per_sec",
         "vs_baseline": round(its_per_sec / BASELINE_ITERS_PER_SEC, 2),
+        "iters_per_sec_f32_match": round(its_per_sec_f32, 2),
+        "set12_f32_match_mean_psnr_db": round(float(psnrs_f32.mean()), 2),
         "iters_per_sec_bm3d_search12": round(its_per_sec_12, 2),
         "set12_mean_psnr_db": round(float(set12_psnrs.mean()), 2),
         "set12_min_psnr_db": round(float(set12_psnrs.min()), 2),

@@ -63,9 +63,16 @@ class BM3DParams:
     match_dtype: str = "float32"  # "bfloat16" halves the HBM traffic of the
     # per-offset squared-difference tensors and doubles MXU rate on the
     # banded contractions; distances only rank candidates, so sub-0.5%
-    # distance error flips near-ties at most
+    # distance error flips near-ties at most. Measured on v5e
+    # (data/bm3d_knobs_v5e.json): +6.5-7.4% end-to-end it/s at
+    # statistically unchanged PSNR — the bench's headline operating point.
+    # f32 stays the default so the kernel's selection semantics match the
+    # golden-parity oracles bit-for-bit.
     topk: str = "exact"  # "approx" = jax.lax.approx_min_k (the TPU's
-    # hardware-backed k-selection; exact lowering on CPU)
+    # hardware-backed k-selection; exact lowering on CPU). Measured SLOWER
+    # than the iterative exact k-argmin at every bench config (S<=625,
+    # K=16; data/bm3d_knobs_v5e.json) — PartialReduce only pays off at
+    # much larger S/k ratios; kept for that regime.
 
 
 def _ref_grid(size: int, block: int, step: int) -> np.ndarray:
