@@ -230,18 +230,29 @@ def main():
     )
 
     # ---- Deblur + BM3D lane (reference deblur notebook config, no saved
-    # outputs upstream — this pins our own quality + throughput numbers) ----
+    # outputs upstream — this pins our own quality + throughput numbers).
+    # Hyperparameters from examples/tune_deblur.py (data/deblur_tuned.json);
+    # falls back to a known-good hand config.
     img01 = jnp.asarray(load_image(resolve_data_path("Set12/01.png"), 256, 256))
     dprob = make_deblur(
         jax.random.PRNGKey(0), img01, kernel="Minimal", scale_percent=100, snr=5
     )
-    den_db = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=8))
-    db_outer, db_t2 = 4, 6
+    db_cfg = {"eta": 2e9, "lr_decay": 0.6, "sigma_modifier": 1.0,
+              "n_outer": 4, "t2": 6, "mini_batch_size": 5000}
+    db_tuned = os.path.join(os.path.dirname(__file__), "data", "deblur_tuned.json")
+    if os.path.exists(db_tuned):
+        with open(db_tuned) as f:
+            db_cfg.update({k: v for k, v in json.load(f).items() if k in db_cfg})
+    den_db = BM3DDenoiser(
+        sigma_modifier=db_cfg["sigma_modifier"], params=BM3DParams(search=8)
+    )
+    db_outer, db_t2 = int(db_cfg["n_outer"]), int(db_cfg["t2"])
 
     def run_deblur(key):
         return pnp_svrg(
-            dprob, den_db, eta=2e9, n_outer=db_outer, t2=db_t2,
-            mini_batch_size=5000, lr_decay=0.6, key=key,
+            dprob, den_db, eta=db_cfg["eta"], n_outer=db_outer, t2=db_t2,
+            mini_batch_size=int(db_cfg["mini_batch_size"]),
+            lr_decay=db_cfg["lr_decay"], key=key,
         )
 
     db_out = run_deblur(jax.random.PRNGKey(1))
