@@ -21,6 +21,8 @@ import time
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--search", type=int, default=12)
+    ap.add_argument("--match-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--outer", type=int, default=4,
                     help="n_outer for the traced run (smaller than the "
                     "bench's 16 to keep the trace compact; per-iteration "
@@ -73,7 +75,8 @@ def main(argv=None):
         eta = jnp.full((bsz,), 6000.0, jnp.float32)
         mod = jnp.full((bsz,), 1.0, jnp.float32)
 
-    den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(search=args.search))
+    den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(
+        search=args.search, match_dtype=args.match_dtype))
 
     def run(key):
         out = pnp_svrg(batched, den, eta=eta, n_outer=args.outer, t2=10,
