@@ -5,36 +5,58 @@ the batch) for PnP-SVRG + native BM3D on 128x128 CSMRI — directly comparable
 to the reference's ~2.5-3.3 it/s single-image CPU baseline (BASELINE.md
 "Throughput baseline": iteration counts / 60 s wall budget).
 
-Quality lanes (recorded in the same JSON line, details on stderr):
+Structured so the ONE JSON line is guaranteed out under a cold compile cache
+(round 3's capture timed out compiling three full programs before the first
+print — VERDICT.md "What's weak" #1):
 
-* 12 Set12 images with per-lane tuned (eta, sigma_modifier) from
+* The DEFAULT run times exactly ONE compiled program (the bf16 headline
+  operating point) and then adds quality-only lanes, each gated by an
+  internal wall-clock budget (``BENCH_BUDGET_S``, default 480 s). Lanes that
+  would blow the budget are skipped and recorded in the JSON as
+  ``"skipped": [...]`` — the line always prints.
+* ``BENCH_FULL=1`` re-enables the comparison lanes (f32-match and search=12
+  throughput/quality), each its own XLA compile.
+* ``BENCH_BSZ`` / ``BENCH_OUTER`` shrink every lane (Set12 lane count /
+  iteration budgets, including the PR and deblur lanes):
+  ``BENCH_BSZ=2 BENCH_OUTER=2 python bench.py`` completes in well under a
+  minute. Per-lane tuned configs are sliced by lane NAME, so any subset
+  works.
+
+Lanes (in order; details on stderr):
+
+* Headline: 12 Set12 images with per-lane tuned (eta, sigma_modifier) from
   ``data/set12_csmri_tuned.json`` (produced by ``examples/tune_set12.py`` on
   this hardware) and variable-density masks (``make_csmri(keep_low_freq=4)``
   — the reference's uniform Bernoulli mask leaves the DC coefficient present
   only by coin flip, which makes the image mean unidentifiable and caps
   unlucky lanes at single-digit PSNR regardless of algorithm; see
-  ``problems/csmri.py``).
-* A reference-exact-mask Set12 aggregate: the same 12 images with uniform
+  ``problems/csmri.py``). Quality fields are named ``set12_vd_*`` to mark
+  the variable-density variant; the reference-exact numbers are the
+  ``set12_uniform_*`` and ``flagship_*`` fields.
+* Riding along in the same batch: the reference flagship lane — 13.png,
+  reference-EXACT Bernoulli mask, p=0.5, SNR 10 (BASELINE.md
+  CSMRI/SVRG/BM3D: 22.8 dB).
+* A reference-exact-mask Set12 aggregate: the same images with uniform
   Bernoulli masks (keep_low_freq=0, the reference's exact problem,
   ``/root/reference/problems/CSMRI.py:43-45``), per-lane tuned from
-  ``data/set12_csmri_uniform_tuned.json`` — same compiled program, quality
-  recorded as ``set12_uniform_*``.
-* The reference flagship lane — 13.png, reference-EXACT Bernoulli mask,
-  p=0.5, SNR 10 (BASELINE.md CSMRI/SVRG/BM3D: 22.8 dB).
+  ``data/set12_csmri_uniform_tuned.json``. Same compiled program — data
+  differs, shapes don't.
 * A PR + BM3D lane — Set12/04, alpha=0.5, SNR 20 (BASELINE.md PR table:
-  SVRG+BM3D 26.8 dB) at the tuned config of ``examples/paper_pr.py``.
+  SVRG+BM3D 26.8 dB), config loaded from ``data/pr_tuned.json``
+  (``examples/tune_pr.py``).
 * A Deblur + BM3D lane — Set12/01 at 256x256, "Minimal" kernel, SNR 5 (the
   reference deblur notebook's configuration, which saved no outputs; this
-  pins our own number) with final PSNR and iterations/s.
-* Throughput AND quality are both recorded at the BM3D default search=12
-  alongside the search=8 fast configuration the headline uses.
-* The headline run uses bfloat16 block-matching distances (selection-only
-  precision; filtering stays f32) — the operating point picked from the
-  measured knob matrix ``data/bm3d_knobs_v5e.json``; the f32-match numbers
-  are recorded alongside (``iters_per_sec_f32_match``).
+  pins our own number) from ``data/deblur_tuned.json``.
+
+Every quality lane records SSIM next to PSNR (the north-star metric is
+"PSNR/SSIM"; SSIM via ``ops/metrics.ssim``, skimage-convention).
+
+The headline uses bfloat16 block-matching distances (selection-only
+precision; filtering stays f32) — the operating point picked from the
+measured knob matrix ``data/bm3d_knobs_v5e.json``.
 
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": "pnp_iters_per_sec", "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N, ...}
 """
 
 import json
@@ -49,10 +71,18 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 BASELINE_ITERS_PER_SEC = 2.9  # midpoint of the reference's 2.5-3.3 it/s
-TUNED_JSON = os.path.join(os.path.dirname(__file__), "data", "set12_csmri_tuned.json")
-UNIFORM_TUNED_JSON = os.path.join(
-    os.path.dirname(__file__), "data", "set12_csmri_uniform_tuned.json"
-)
+DATA = os.path.join(os.path.dirname(__file__), "data")
+TUNED_JSON = os.path.join(DATA, "set12_csmri_tuned.json")
+UNIFORM_TUNED_JSON = os.path.join(DATA, "set12_csmri_uniform_tuned.json")
+PR_TUNED_JSON = os.path.join(DATA, "pr_tuned.json")
+DEBLUR_TUNED_JSON = os.path.join(DATA, "deblur_tuned.json")
+
+T_START = time.time()
+
+
+def note(msg: str) -> None:
+    print(f"[bench t={time.time() - T_START:5.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def _sync(tree):
@@ -63,6 +93,34 @@ def _sync(tree):
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "reshape") and getattr(leaf, "size", 0):
             float(np.real(np.asarray(leaf.reshape(-1)[0])))
+
+
+def _lane_params(tuned, lane_names, default_eta, default_mod):
+    """Per-lane (eta, sigma_modifier) arrays sliced from a tuned JSON by lane
+    NAME — works for any BENCH_BSZ subset (the round-3 crash applied a
+    13-entry table to a shrunken batch; VERDICT.md weak #2)."""
+    import jax.numpy as jnp
+
+    etas, mods = [], []
+    by_name = {}
+    if tuned:
+        by_name = {
+            n: (e, m)
+            for n, e, m in zip(tuned["lanes"], tuned["eta"],
+                               tuned["sigma_modifier"])
+        }
+    for name in lane_names:
+        e, m = by_name.get(name, (default_eta, default_mod))
+        etas.append(e)
+        mods.append(m)
+    return jnp.asarray(etas, jnp.float32), jnp.asarray(mods, jnp.float32)
+
+
+def _load_json(path):
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
 
 
 def main():
@@ -77,17 +135,28 @@ def main():
     from pnp_svrg_tpu.algorithms.loops import pnp_svrg
     from pnp_svrg_tpu.core.batched import stack_problems
     from pnp_svrg_tpu.denoisers.bm3d import BM3DDenoiser, BM3DParams
+    from pnp_svrg_tpu.ops.metrics import ssim
     from pnp_svrg_tpu.problems import make_csmri, make_deblur, make_phase_retrieval
     from pnp_svrg_tpu.utils.io import set12_paths, load_image, resolve_data_path
+
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
+    full = os.environ.get("BENCH_FULL") == "1"
+    skipped = []
+
+    def have_time(lane: str) -> bool:
+        if time.time() - T_START < budget_s:
+            return True
+        note(f"budget {budget_s:.0f}s exceeded — skipping lane '{lane}'")
+        skipped.append(lane)
+        return False
+
+    ssim_batch = jax.jit(jax.vmap(ssim))
 
     h = w = 128
     n_outer = int(os.environ.get("BENCH_OUTER", 16))
     t2, mb = 10, 4000
 
-    tuned = None
-    if os.path.exists(TUNED_JSON):
-        with open(TUNED_JSON) as f:
-            tuned = json.load(f)
+    tuned = _load_json(TUNED_JSON)
 
     paths = set12_paths()
     paths = paths[: int(os.environ.get("BENCH_BSZ", len(paths)))]
@@ -97,6 +166,7 @@ def main():
     # quality-vs-reference is checked by the same compiled program. It keeps
     # the reference-exact uniform Bernoulli mask (keep_low_freq=0).
     paths = list(paths) + [resolve_data_path("13.png")]
+    lane_names = [os.path.basename(p) for p in paths]
     keep = int(tuned["config"].get("keep_low_freq", 4)) if tuned else 4
     keeps = [keep] * n_set12 + [0]
     keys = list(jax.random.split(jax.random.PRNGKey(0), len(paths) - 1))
@@ -111,12 +181,7 @@ def main():
     batched = stack_problems(problems)
     bsz = len(problems)
 
-    if tuned and len(tuned["eta"]) == bsz:
-        eta = jnp.asarray(tuned["eta"], jnp.float32)
-        mod = jnp.asarray(tuned["sigma_modifier"], jnp.float32)
-    else:
-        eta = jnp.full((bsz,), 6000.0, jnp.float32)
-        mod = jnp.full((bsz,), 1.0, jnp.float32)
+    eta, mod = _lane_params(tuned, lane_names, 6000.0, 1.0)
 
     def run(problem_batch, key, search, eta_v, mod_v, match_dtype="float32"):
         den = BM3DDenoiser(
@@ -132,7 +197,7 @@ def main():
             mini_batch_size=mb,
             key=key,
         )
-        return {k: out[k] for k in ("z", "psnr_per_iter", "final_psnr")}
+        return {k: out[k] for k in ("image", "final_psnr")}
 
     def timed(search, match_dtype="float32"):
         t0 = time.time()
@@ -144,130 +209,39 @@ def main():
         _sync(out)
         return out, time.time() - t0, first
 
-    # Headline operating point: search=8 with bfloat16 block-matching
-    # distances (selection-only precision — the filtering math stays f32).
-    # The full knob matrix measured on v5e (tools/measure_bm3d_knobs.py,
-    # data/bm3d_knobs_v5e.json): bf16 matching is +6.5-7.4% it/s at
-    # statistically unchanged PSNR; lax.approx_min_k is SLOWER than the
-    # iterative exact k-argmin at every config (S<=625, K=16), so topk
-    # stays "exact".
+    # ---- Headline lane: search=8, bfloat16 block-matching distances --------
+    # (selection-only precision — the filtering math stays f32). Knob matrix
+    # measured on v5e (tools/measure_bm3d_knobs.py, data/bm3d_knobs_v5e.json):
+    # bf16 matching is +6.5-7.4% it/s at statistically unchanged PSNR;
+    # lax.approx_min_k is SLOWER than the iterative exact k-argmin at every
+    # config (S<=625, K=16), so topk stays "exact".
+    note(f"headline lane: {bsz} lanes x {n_outer}x({t2}+1) iters, "
+         f"search=8 bf16-match (compiling if cache cold)")
     out, steady, compile_and_first = timed(8, "bfloat16")
-    out_f32, steady_f32, _ = timed(8, "float32")
-    out12, steady12, _ = timed(12)
+    note(f"headline steady {steady:.2f}s (first+compile {compile_and_first:.1f}s)")
 
     iters = n_outer * (t2 + 1)  # inner steps + snapshot entries, ref layout
     image_iters = bsz * iters
     its_per_sec = image_iters / steady
-    its_per_sec_f32 = image_iters / steady_f32
-    its_per_sec_12 = image_iters / steady12
     psnrs = np.asarray(out["final_psnr"])
+    ssims = np.asarray(ssim_batch(batched.x, out["image"]))
     set12_psnrs = psnrs[:n_set12]
-    psnrs_f32 = np.asarray(out_f32["final_psnr"])[:n_set12]
-    psnrs12 = np.asarray(out12["final_psnr"])[:n_set12]  # quality @ search=12
+    set12_ssims = ssims[:n_set12]
     flagship = float(psnrs[-1])
+    flagship_ssim = float(ssims[-1])
 
     print(
         f"bench: {bsz} images x {iters} iters, steady {steady:.2f}s "
-        f"(first+compile {compile_and_first:.1f}s; f32-match steady "
-        f"{steady_f32:.2f}s = {its_per_sec_f32:.0f} it/s at mean "
-        f"{psnrs_f32.mean():.2f} dB; search=12 steady "
-        f"{steady12:.2f}s = {its_per_sec_12:.0f} it/s at mean "
-        f"{psnrs12.mean():.2f} dB), Set12 mean final "
+        f"(first+compile {compile_and_first:.1f}s), Set12-VD mean final "
         f"PSNR {set12_psnrs.mean():.2f} dB min {set12_psnrs.min():.2f} dB "
+        f"SSIM {set12_ssims.mean():.3f} "
         f"(per-image: {psnrs.round(2).tolist()})",
         file=sys.stderr,
     )
     print(
         f"bench quality: 13.png flagship (reference-exact mask) {flagship:.2f} dB "
-        f"vs reference 22.8 dB (BASELINE.md CSMRI/SVRG/BM3D)",
-        file=sys.stderr,
-    )
-
-    # ---- Reference-exact-mask Set12 aggregate (uniform Bernoulli) ---------
-    # Same batch shapes/keys as the headline run -> the compiled program is
-    # reused; only the mask data and the per-lane tuned (eta, mod) differ.
-    set12_uniform_mean = set12_uniform_min = None
-    if os.path.exists(UNIFORM_TUNED_JSON):
-        with open(UNIFORM_TUNED_JSON) as f:
-            utuned = json.load(f)
-        uproblems = [
-            make_csmri(
-                k, jnp.asarray(load_image(p, h, w)), sample_prob=0.5, snr=10,
-                keep_low_freq=0,
-            )
-            for k, p in zip(keys, paths)
-        ]
-        out_u = run(
-            stack_problems(uproblems), jax.random.PRNGKey(2), 8,
-            jnp.asarray(utuned["eta"], jnp.float32),
-            jnp.asarray(utuned["sigma_modifier"], jnp.float32),
-        )
-        upsnrs = np.asarray(out_u["final_psnr"])[:n_set12]
-        set12_uniform_mean = float(upsnrs.mean())
-        set12_uniform_min = float(upsnrs.min())
-        print(
-            f"bench quality: Set12 uniform (reference-exact) masks mean "
-            f"{set12_uniform_mean:.2f} dB min {set12_uniform_min:.2f} dB "
-            f"(per-image: {upsnrs.round(2).tolist()})",
-            file=sys.stderr,
-        )
-
-    # ---- PR + BM3D quality lane (BASELINE.md PR table: 26.8 dB) -----------
-    # Tuned config from examples/paper_pr.py (auto): n_outer=20,
-    # lr_decay=0.99 — clears the reference's 26.8 dB with margin.
-    img04 = jnp.asarray(load_image(resolve_data_path("Set12/04.png"), h, w))
-    pr = make_phase_retrieval(jax.random.PRNGKey(4), img04, num_meas=8192, snr=20)
-    den_pr = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=8))
-    pr_out = pnp_svrg(
-        pr, den_pr, eta=0.2, n_outer=20, t2=8, mini_batch_size=800,
-        lr_decay=0.99, key=jax.random.PRNGKey(5),
-    )
-    pr_psnr = float(np.asarray(pr_out["final_psnr"]))
-    print(
-        f"bench quality: PR+BM3D (Set12/04, alpha=0.5, SNR 20) {pr_psnr:.2f} dB "
-        f"vs reference 26.8 dB (BASELINE.md PR/SVRG/BM3D)",
-        file=sys.stderr,
-    )
-
-    # ---- Deblur + BM3D lane (reference deblur notebook config, no saved
-    # outputs upstream — this pins our own quality + throughput numbers).
-    # Hyperparameters from examples/tune_deblur.py (data/deblur_tuned.json);
-    # falls back to a known-good hand config.
-    img01 = jnp.asarray(load_image(resolve_data_path("Set12/01.png"), 256, 256))
-    dprob = make_deblur(
-        jax.random.PRNGKey(0), img01, kernel="Minimal", scale_percent=100, snr=5
-    )
-    db_cfg = {"eta": 2e9, "lr_decay": 0.6, "sigma_modifier": 1.0,
-              "n_outer": 4, "t2": 6, "mini_batch_size": 5000}
-    db_tuned = os.path.join(os.path.dirname(__file__), "data", "deblur_tuned.json")
-    if os.path.exists(db_tuned):
-        with open(db_tuned) as f:
-            db_cfg.update({k: v for k, v in json.load(f).items() if k in db_cfg})
-    den_db = BM3DDenoiser(
-        sigma_modifier=db_cfg["sigma_modifier"], params=BM3DParams(search=8)
-    )
-    db_outer, db_t2 = int(db_cfg["n_outer"]), int(db_cfg["t2"])
-
-    def run_deblur(key):
-        return pnp_svrg(
-            dprob, den_db, eta=db_cfg["eta"], n_outer=db_outer, t2=db_t2,
-            mini_batch_size=int(db_cfg["mini_batch_size"]),
-            lr_decay=db_cfg["lr_decay"], key=key,
-        )
-
-    db_out = run_deblur(jax.random.PRNGKey(1))
-    _sync(db_out["final_psnr"])
-    t0 = time.time()
-    db_out = run_deblur(jax.random.PRNGKey(2))
-    _sync(db_out["final_psnr"])
-    db_steady = time.time() - t0
-    db_iters = db_outer * (db_t2 + 1)
-    db_psnr = float(np.asarray(db_out["final_psnr"]))
-    db_its_per_sec = db_iters / db_steady
-    print(
-        f"bench quality: Deblur+BM3D (Set12/01 256^2, Minimal kernel, SNR 5) "
-        f"{db_psnr:.2f} dB, {db_its_per_sec:.0f} it/s "
-        f"(reference saved no outputs for this experiment)",
+        f"SSIM {flagship_ssim:.3f} vs reference 22.8 dB (BASELINE.md "
+        f"CSMRI/SVRG/BM3D)",
         file=sys.stderr,
     )
 
@@ -276,22 +250,157 @@ def main():
         "value": round(its_per_sec, 2),
         "unit": "pnp_iters_per_sec",
         "vs_baseline": round(its_per_sec / BASELINE_ITERS_PER_SEC, 2),
-        "iters_per_sec_f32_match": round(its_per_sec_f32, 2),
-        "set12_f32_match_mean_psnr_db": round(float(psnrs_f32.mean()), 2),
-        "iters_per_sec_bm3d_search12": round(its_per_sec_12, 2),
-        "set12_mean_psnr_db": round(float(set12_psnrs.mean()), 2),
-        "set12_min_psnr_db": round(float(set12_psnrs.min()), 2),
-        "set12_search12_mean_psnr_db": round(float(psnrs12.mean()), 2),
+        # Set12 quality on the variable-density mask variant (keep_low_freq=4
+        # — an improvement over the reference's uniform Bernoulli mask; the
+        # reference-exact numbers are set12_uniform_* and flagship_*).
+        "problem_variant": "set12_vd_* = variable-density masks (keep_low_freq=4); set12_uniform_* and flagship_* are reference-exact uniform Bernoulli",
+        "set12_vd_mean_psnr_db": round(float(set12_psnrs.mean()), 2),
+        "set12_vd_min_psnr_db": round(float(set12_psnrs.min()), 2),
+        "set12_vd_mean_ssim": round(float(set12_ssims.mean()), 4),
         "flagship_13png_psnr_db": round(flagship, 2),
+        "flagship_13png_ssim": round(flagship_ssim, 4),
         "flagship_ref_psnr_db": 22.8,
-        "pr_bm3d_psnr_db": round(pr_psnr, 2),
-        "pr_bm3d_ref_psnr_db": 26.8,
-        "deblur_bm3d_psnr_db": round(db_psnr, 2),
-        "deblur_iters_per_sec": round(db_its_per_sec, 2),
     }
-    if set12_uniform_mean is not None:
-        record["set12_uniform_mean_psnr_db"] = round(set12_uniform_mean, 2)
-        record["set12_uniform_min_psnr_db"] = round(set12_uniform_min, 2)
+
+    # ---- Comparison lanes (each a separate XLA compile): BENCH_FULL=1 only -
+    if full and have_time("f32_match"):
+        note("f32-match comparison lane")
+        out_f32, steady_f32, _ = timed(8, "float32")
+        psnrs_f32 = np.asarray(out_f32["final_psnr"])[:n_set12]
+        record["iters_per_sec_f32_match"] = round(image_iters / steady_f32, 2)
+        record["set12_vd_f32_match_mean_psnr_db"] = round(
+            float(psnrs_f32.mean()), 2
+        )
+        note(f"f32-match steady {steady_f32:.2f}s "
+             f"mean {psnrs_f32.mean():.2f} dB")
+    if full and have_time("search12"):
+        note("search=12 comparison lane")
+        out12, steady12, _ = timed(12)
+        psnrs12 = np.asarray(out12["final_psnr"])[:n_set12]
+        record["iters_per_sec_bm3d_search12"] = round(image_iters / steady12, 2)
+        record["set12_vd_search12_mean_psnr_db"] = round(float(psnrs12.mean()), 2)
+        note(f"search=12 steady {steady12:.2f}s mean {psnrs12.mean():.2f} dB")
+
+    # ---- Reference-exact-mask Set12 aggregate (uniform Bernoulli) ---------
+    # Same batch shapes/keys as the headline run -> the compiled program is
+    # reused; only the mask data and the per-lane tuned (eta, mod) differ.
+    utuned = _load_json(UNIFORM_TUNED_JSON)
+    if utuned and have_time("set12_uniform"):
+        note("reference-exact uniform-mask Set12 lane (reuses headline program)")
+        ueta, umod = _lane_params(utuned, lane_names, 6000.0, 1.0)
+        uproblems = [
+            make_csmri(
+                k, jnp.asarray(load_image(p, h, w)), sample_prob=0.5, snr=10,
+                keep_low_freq=0,
+            )
+            for k, p in zip(keys, paths)
+        ]
+        ubatched = stack_problems(uproblems)
+        out_u = run(ubatched, jax.random.PRNGKey(2), 8, ueta, umod, "bfloat16")
+        upsnrs = np.asarray(out_u["final_psnr"])[:n_set12]
+        ussims = np.asarray(ssim_batch(ubatched.x, out_u["image"]))[:n_set12]
+        record["set12_uniform_mean_psnr_db"] = round(float(upsnrs.mean()), 2)
+        record["set12_uniform_min_psnr_db"] = round(float(upsnrs.min()), 2)
+        record["set12_uniform_mean_ssim"] = round(float(ussims.mean()), 4)
+        print(
+            f"bench quality: Set12 uniform (reference-exact) masks mean "
+            f"{upsnrs.mean():.2f} dB min {upsnrs.min():.2f} dB SSIM "
+            f"{ussims.mean():.3f} (per-image: {upsnrs.round(2).tolist()})",
+            file=sys.stderr,
+        )
+
+    # ---- PR + BM3D quality lane (BASELINE.md PR table: 26.8 dB) -----------
+    # Tuned config from examples/tune_pr.py (data/pr_tuned.json); falls back
+    # to a known-good hand config. Honors BENCH_OUTER.
+    if have_time("pr_bm3d"):
+        pr_cfg = {"eta": 0.2, "lr_decay": 0.99, "sigma_modifier": 1.0,
+                  "n_outer": 20, "t2": 8, "mini_batch_size": 800}
+        pr_tuned = _load_json(PR_TUNED_JSON)
+        if pr_tuned:
+            pr_cfg.update({k: v for k, v in pr_tuned.items() if k in pr_cfg})
+        pr_outer = min(int(pr_cfg["n_outer"]), n_outer) if "BENCH_OUTER" in os.environ else int(pr_cfg["n_outer"])
+        note(f"PR+BM3D lane (n_outer={pr_outer}, compiling if cache cold)")
+        img04 = jnp.asarray(load_image(resolve_data_path("Set12/04.png"), h, w))
+        pr = make_phase_retrieval(
+            jax.random.PRNGKey(4), img04, num_meas=8192, snr=20
+        )
+        den_pr = BM3DDenoiser(
+            sigma_modifier=pr_cfg["sigma_modifier"], params=BM3DParams(search=8)
+        )
+        pr_out = pnp_svrg(
+            pr, den_pr, eta=pr_cfg["eta"], n_outer=pr_outer,
+            t2=int(pr_cfg["t2"]),
+            mini_batch_size=int(pr_cfg["mini_batch_size"]),
+            lr_decay=pr_cfg["lr_decay"], key=jax.random.PRNGKey(5),
+        )
+        pr_psnr = float(np.asarray(pr_out["final_psnr"]))
+        pr_ssim = float(np.asarray(ssim(pr.x, pr_out["image"])))
+        record["pr_bm3d_psnr_db"] = round(pr_psnr, 2)
+        record["pr_bm3d_ssim"] = round(pr_ssim, 4)
+        record["pr_bm3d_ref_psnr_db"] = 26.8
+        print(
+            f"bench quality: PR+BM3D (Set12/04, alpha=0.5, SNR 20) "
+            f"{pr_psnr:.2f} dB SSIM {pr_ssim:.3f} vs reference 26.8 dB "
+            f"(BASELINE.md PR/SVRG/BM3D)",
+            file=sys.stderr,
+        )
+
+    # ---- Deblur + BM3D lane (reference deblur notebook config, no saved
+    # outputs upstream — this pins our own quality + throughput numbers).
+    # Hyperparameters from examples/tune_deblur.py (data/deblur_tuned.json);
+    # falls back to a known-good hand config. Honors BENCH_OUTER.
+    if have_time("deblur_bm3d"):
+        db_cfg = {"eta": 2e9, "lr_decay": 0.6, "sigma_modifier": 1.0,
+                  "n_outer": 4, "t2": 6, "mini_batch_size": 5000}
+        db_tuned = _load_json(DEBLUR_TUNED_JSON)
+        if db_tuned:
+            db_cfg.update({k: v for k, v in db_tuned.items() if k in db_cfg})
+        db_outer = min(int(db_cfg["n_outer"]), n_outer) if "BENCH_OUTER" in os.environ else int(db_cfg["n_outer"])
+        db_t2 = int(db_cfg["t2"])
+        note(f"Deblur+BM3D lane (256^2, n_outer={db_outer}, compiling if "
+             f"cache cold)")
+        img01 = jnp.asarray(
+            load_image(resolve_data_path("Set12/01.png"), 256, 256)
+        )
+        dprob = make_deblur(
+            jax.random.PRNGKey(0), img01, kernel="Minimal", scale_percent=100,
+            snr=5,
+        )
+        den_db = BM3DDenoiser(
+            sigma_modifier=db_cfg["sigma_modifier"], params=BM3DParams(search=8)
+        )
+
+        def run_deblur(key):
+            return pnp_svrg(
+                dprob, den_db, eta=db_cfg["eta"], n_outer=db_outer, t2=db_t2,
+                mini_batch_size=int(db_cfg["mini_batch_size"]),
+                lr_decay=db_cfg["lr_decay"], key=key,
+            )
+
+        db_out = run_deblur(jax.random.PRNGKey(1))
+        _sync(db_out["final_psnr"])
+        t0 = time.time()
+        db_out = run_deblur(jax.random.PRNGKey(2))
+        _sync(db_out["final_psnr"])
+        db_steady = time.time() - t0
+        db_iters = db_outer * (db_t2 + 1)
+        db_psnr = float(np.asarray(db_out["final_psnr"]))
+        db_ssim = float(np.asarray(ssim(dprob.x, db_out["image"])))
+        db_its_per_sec = db_iters / db_steady
+        record["deblur_bm3d_psnr_db"] = round(db_psnr, 2)
+        record["deblur_bm3d_ssim"] = round(db_ssim, 4)
+        record["deblur_iters_per_sec"] = round(db_its_per_sec, 2)
+        print(
+            f"bench quality: Deblur+BM3D (Set12/01 256^2, Minimal kernel, "
+            f"SNR 5) {db_psnr:.2f} dB SSIM {db_ssim:.3f}, "
+            f"{db_its_per_sec:.0f} it/s "
+            f"(reference saved no outputs for this experiment)",
+            file=sys.stderr,
+        )
+
+    if skipped:
+        record["skipped"] = skipped
+    note(f"done ({len(skipped)} lanes skipped)")
     print(json.dumps(record))
 
 
