@@ -326,6 +326,8 @@ def pnp_svrg(
         "hist_size",
         "converge_check",
         "diverge_check",
+        "table_axis",
+        "table_shards",
     ),
 )
 def pnp_saga(
@@ -339,8 +341,27 @@ def pnp_saga(
     lr_decay: float = 1.0,
     converge_check: bool = False,
     diverge_check: bool = False,
+    table_axis: str | None = None,
+    table_shards: int = 1,
 ):
-    """Table-based approximate SAGA with a (hist_size, N) gradient history."""
+    """Table-based approximate SAGA with a (hist_size, N) gradient history.
+
+    ``table_axis`` / ``table_shards`` shard the history table over a bound
+    mesh axis (the ``meas`` axis of ``parallel/meas.py``): each shard owns
+    ``hist_size // table_shards`` slots, so table memory scales down with the
+    mesh while ``hist_size`` can scale up (SURVEY §2.10). The replacement
+    slot is drawn from the *global* slot range with a replicated key; only
+    the owning shard rewrites its row, and the replicated running table sum
+    is maintained with one psum'd eviction delta per step — the update
+    sequence is bit-identical to the unsharded table.
+    """
+    if hist_size % table_shards:
+        raise ValueError(
+            f"hist_size {hist_size} not divisible by {table_shards} table shards"
+        )
+    if table_shards > 1 and table_axis is None:
+        raise ValueError("table_shards > 1 requires a bound table_axis")
+    hist_local = hist_size // table_shards
     z0 = _z0_of(problem)
     eta = jnp.asarray(eta, jnp.float32)
     lr_decay = jnp.asarray(lr_decay, jnp.float32)
@@ -348,8 +369,8 @@ def pnp_saga(
 
     key, k0 = jax.random.split(key)
     g0 = problem.grad_stoch(z0, problem.select_mb(k0, mini_batch_size)).reshape(z0.shape) / b
-    table0 = jnp.tile(g0[None], (hist_size,) + (1,) * g0.ndim)
-    tsum0 = g0 * hist_size
+    table0 = jnp.tile(g0[None], (hist_local,) + (1,) * g0.ndim)
+    tsum0 = g0 * hist_size  # global running sum (replicated across shards)
 
     def body(state, i):
         z, t, done, k, table, tsum, prev = state
@@ -357,8 +378,17 @@ def pnp_saga(
         start_psnr = problem.psnr(z)
         slot = jax.random.randint(k_slot, (), 0, hist_size)
         g = problem.grad_stoch(z, problem.select_mb(k_mb, mini_batch_size)).reshape(z.shape) / b
-        old = table[slot]
-        table_new = table.at[slot].set(g)
+        if table_shards == 1:
+            old = table[slot]
+            table_new = table.at[slot].set(g)
+        else:
+            local_slot = slot % hist_local
+            mine = (slot // hist_local) == jax.lax.axis_index(table_axis)
+            row = table[local_slot]
+            # Evicted value lives on exactly one shard; psum broadcasts it.
+            old = jax.lax.psum(jnp.where(mine, row, jnp.zeros_like(row)),
+                               table_axis)
+            table_new = table.at[local_slot].set(jnp.where(mine, g, row))
         tsum_new = tsum + g - old
         v = g - prev + tsum_new / hist_size
         z_new, psnr_after, psnr_mid, sig = _denoise_step(

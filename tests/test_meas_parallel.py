@@ -177,6 +177,52 @@ def test_mesh_svrg_other_problems(problem):
     )
 
 
+def test_saga_sharded_table_equals_replicated():
+    """SAGA with the history table sharded over the meas axis (each shard
+    owns hist_size // n slots, psum'd eviction delta — SURVEY §2.10) must
+    reproduce the replicated-table meas run: the update sequence is
+    identical, only the storage layout changes. The (4, 2) mesh execution
+    must agree with the single-device emulation too."""
+    batched = _batched("csmri")
+    hp = dict(eta=10.0, n_iters=6, mini_batch_size=32, hist_size=4)
+    o_rep = run_batch_meas_emulated(
+        _ALGOS["saga"], batched, DEN, jax.random.PRNGKey(3), 2, **hp
+    )
+    o_sh = run_batch_meas_emulated(
+        _ALGOS["saga"], batched, DEN, jax.random.PRNGKey(3), 2,
+        table_axis=MEAS_AXIS, table_shards=2, **hp,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_sh["z"]), np.asarray(o_rep["z"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_sh["psnr_per_iter"]),
+        np.asarray(o_rep["psnr_per_iter"]),
+        atol=1e-4,
+    )
+    mesh = make_mesh((4, 2))
+    o_mesh = run_batch(
+        "saga", batched, DEN, key=jax.random.PRNGKey(3), mesh=mesh,
+        table_axis=MEAS_AXIS, table_shards=2, **hp,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_mesh["z"]), np.asarray(o_sh["z"]), atol=1e-4
+    )
+
+
+def test_saga_table_shards_validation():
+    from pnp_svrg_tpu.algorithms.loops import pnp_saga
+
+    batched = _batched("csmri")
+    with pytest.raises(ValueError, match="not divisible"):
+        pnp_saga(batched, DEN, eta=1.0, n_iters=2, mini_batch_size=32,
+                 key=jax.random.PRNGKey(0), hist_size=5, table_shards=2,
+                 table_axis=MEAS_AXIS)
+    with pytest.raises(ValueError, match="requires a bound table_axis"):
+        pnp_saga(batched, DEN, eta=1.0, n_iters=2, mini_batch_size=32,
+                 key=jax.random.PRNGKey(0), hist_size=4, table_shards=2)
+
+
 def test_mesh_gd_equals_plain_unsharded():
     """GD is deterministic: the (4, 2) mesh run must reproduce the plain
     unsharded batched run (psum'd snapshot == dense grad_full)."""
