@@ -398,6 +398,51 @@ def main():
             file=sys.stderr,
         )
 
+    # ---- Deblur-SR + BM3D lane (BASELINE configs[2]: the 25x25 blur kernel
+    # image data/kernel25.png + scale_percent=50 bilinear downsampling at
+    # SNR 20 — the reference sweep scripts' SR setting,
+    # ``script_diff_sampratio_set12.py:46`` + ``DeblurSR.py:95-108``).
+    # Exercises the bilinear gather / scatter-add adjoint operator pair
+    # end-to-end (ops/resize.py), not just in adjointness tests. Tuned via
+    # ``examples/tune_deblur.py --kernel kernel25.png --scale 50 --snr 20``
+    # (data/deblur_sr_tuned.json).
+    if have_time("deblur_sr_bm3d"):
+        sr_cfg = {"eta": 2e9, "lr_decay": 0.9, "sigma_modifier": 2.0,
+                  "n_outer": 4, "t2": 6, "mini_batch_size": 5000}
+        sr_tuned = _load_json(os.path.join(DATA, "deblur_sr_tuned.json"))
+        if sr_tuned:
+            sr_cfg.update({k: v for k, v in sr_tuned.items() if k in sr_cfg})
+        sr_outer = min(int(sr_cfg["n_outer"]), n_outer) if "BENCH_OUTER" in os.environ else int(sr_cfg["n_outer"])
+        sr_t2 = int(sr_cfg["t2"])
+        note(f"Deblur-SR+BM3D lane (256^2 -> 128^2, kernel25, "
+             f"n_outer={sr_outer}, compiling if cache cold)")
+        img01_sr = jnp.asarray(
+            load_image(resolve_data_path("Set12/01.png"), 256, 256)
+        )
+        sprob = make_deblur(
+            jax.random.PRNGKey(0), img01_sr,
+            kernel=str(resolve_data_path("kernel25.png")),
+            scale_percent=50, snr=20,
+        )
+        den_sr = BM3DDenoiser(
+            sigma_modifier=sr_cfg["sigma_modifier"], params=BM3DParams(search=8)
+        )
+        sr_out = pnp_svrg(
+            sprob, den_sr, eta=sr_cfg["eta"], n_outer=sr_outer, t2=sr_t2,
+            mini_batch_size=int(sr_cfg["mini_batch_size"]),
+            lr_decay=sr_cfg["lr_decay"], key=jax.random.PRNGKey(2),
+        )
+        sr_psnr = float(np.asarray(sr_out["final_psnr"]))
+        sr_ssim = float(np.asarray(ssim(sprob.x, sr_out["image"])))
+        record["deblur_sr_psnr_db"] = round(sr_psnr, 2)
+        record["deblur_sr_ssim"] = round(sr_ssim, 4)
+        print(
+            f"bench quality: Deblur-SR+BM3D (Set12/01 256^2 -> 50% scale, "
+            f"kernel25.png, SNR 20) {sr_psnr:.2f} dB SSIM {sr_ssim:.3f} "
+            f"(reference saved no outputs for SR)",
+            file=sys.stderr,
+        )
+
     if skipped:
         record["skipped"] = skipped
     note(f"done ({len(skipped)} lanes skipped)")

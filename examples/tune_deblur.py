@@ -25,12 +25,22 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--image", default="Set12/01.png")
+    parser.add_argument("--kernel", default="Minimal",
+                        help='"Minimal", "Identity", or a kernel image path '
+                             'under data/ (e.g. kernel25.png)')
+    parser.add_argument("--scale", type=int, default=100,
+                        help="scale_percent: <100 adds bilinear downsampling "
+                             "(the reference's SR path, DeblurSR.py:95-108)")
+    parser.add_argument("--snr", type=float, default=5.0)
     parser.add_argument("--etas", type=float, nargs="+",
                         default=[5e8, 2e9, 8e9])
+    # Defaults cover the committed data/deblur_tuned.json winner
+    # (eta=4e9, lr_decay=0.95, sigma_modifier=4.2).
     parser.add_argument("--decays", type=float, nargs="+",
-                        default=[0.5, 0.6, 0.75, 0.9])
+                        default=[0.5, 0.6, 0.75, 0.9, 0.95])
     parser.add_argument("--mods", type=float, nargs="+",
-                        default=[0.7, 1.0, 1.4])
+                        default=[0.7, 1.0, 1.4, 2.1, 3.0, 4.2])
     parser.add_argument("--budgets", type=int, nargs=2, action="append",
                         default=None, metavar=("N_OUTER", "T2"))
     parser.add_argument("--mb", type=int, default=5000)
@@ -58,7 +68,10 @@ def main(argv=None):
     from pnp_svrg_tpu.utils.io import load_image, resolve_data_path
 
     h = args.size
-    img = jnp.asarray(load_image(resolve_data_path("Set12/01.png"), h, h))
+    img = jnp.asarray(load_image(resolve_data_path(args.image), h, h))
+    kernel = args.kernel
+    if kernel.endswith((".png", ".jpg", ".jpeg")):
+        kernel = str(resolve_data_path(kernel))
 
     configs = list(itertools.product(args.etas, args.decays, args.mods))
     C = args.chunk
@@ -67,8 +80,8 @@ def main(argv=None):
 
     def eval_batch(n_outer, t2, chunk):
         probs = [
-            make_deblur(jax.random.PRNGKey(0), img, kernel="Minimal",
-                        scale_percent=100, snr=5)
+            make_deblur(jax.random.PRNGKey(0), img, kernel=kernel,
+                        scale_percent=args.scale, snr=args.snr)
             for _ in chunk
         ]
         batched = stack_problems(probs)
@@ -101,10 +114,18 @@ def main(argv=None):
                 file=sys.stderr,
             )
     print(f"winner: {best[0]:.2f} dB  config={best[1]}", file=sys.stderr)
-    print(json.dumps({"psnr_db": best[0], **best[1]}))
+    provenance = {
+        "tuner": "examples/tune_deblur.py",
+        "etas": args.etas, "decays": args.decays, "mods": args.mods,
+        "budgets": budgets, "mb": args.mb, "size": args.size,
+        "image": args.image, "kernel": args.kernel, "scale": args.scale,
+        "snr": args.snr,
+    }
+    record = {"psnr_db": best[0], **best[1], "provenance": provenance}
+    print(json.dumps(record))
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"psnr_db": best[0], **best[1]}, f, indent=1)
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,10 @@ def main(argv=None):
     parser.add_argument("--outers", type=int, nargs="+", default=[20, 30])
     parser.add_argument("--t2", type=int, default=8)
     parser.add_argument("--mb", type=int, default=800)
+    parser.add_argument("--chunk", type=int, default=4,
+                        help="configs per compiled batch; each lane carries "
+                             "its own (M, N) matrix (4 lanes at 8192x16384 "
+                             "f32 = 2.1 GB — 12 lanes OOM a 16 GB chip)")
     parser.add_argument("--out", default=None,
                         help="optional JSON path for the winning config")
     args = parser.parse_args(argv)
@@ -82,7 +86,7 @@ def main(argv=None):
     best = (-1e9, None)
     # Fixed chunk size so every (n_outer, chunk) pair reuses one compiled
     # program per n_outer (jit keys on shapes, not values).
-    C = 12
+    C = args.chunk
     while len(configs) % C:
         configs.append(configs[-1])
     for n_outer in args.outers:
@@ -103,10 +107,17 @@ def main(argv=None):
                 file=sys.stderr,
             )
     print(f"winner: {best[0]:.2f} dB  config={best[1]}", file=sys.stderr)
-    print(json.dumps({"psnr_db": best[0], **best[1]}))
+    provenance = {
+        "tuner": "examples/tune_pr.py",
+        "etas": args.etas, "decays": args.decays, "mods": args.mods,
+        "outers": args.outers, "t2": args.t2, "mb": args.mb,
+        "size": args.size, "num_meas": args.num_meas,
+    }
+    record = {"psnr_db": best[0], **best[1], "provenance": provenance}
+    print(json.dumps(record))
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"psnr_db": best[0], **best[1]}, f, indent=1)
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -118,17 +118,24 @@ def nlm_denoise(
 )
 @dataclasses.dataclass(frozen=True)
 class NLMDenoiser:
-    """``use_pallas=True`` routes single-image (2-D) calls through the fused
-    Pallas TPU kernel (``ops/pallas/nlm_kernel.py``; ~8x faster than the XLA
-    graph at 128^2, bit-identical output). Batched (B, H, W) calls always use
-    the XLA path."""
+    """``use_pallas`` routes calls — single (H, W) images AND (B, H, W)
+    batches, with per-lane (h, sigma) — through the fused Pallas TPU kernel
+    (``ops/pallas/nlm_kernel.py``; bit-identical output, measured faster
+    than the XLA graph on v5e — ``data/nlm_pallas_v5e.json``). The default
+    ``None`` auto-selects: Pallas on TPU backends, the XLA/jnp path
+    elsewhere (the kernel only compiles under Mosaic)."""
 
     denoise_strength: jnp.ndarray = 0.0
     sigma_modifier: jnp.ndarray = 1.0
     decay: jnp.ndarray = 1.0
     patch_size: int = 4
     patch_distance: int = 5
-    use_pallas: bool = False
+    use_pallas: bool | None = None
+
+    def _use_pallas(self) -> bool:
+        if self.use_pallas is None:
+            return jax.default_backend() == "tpu"
+        return self.use_pallas
 
     def denoise(
         self, x: jnp.ndarray, sigma_est: jnp.ndarray, t: jnp.ndarray
@@ -141,7 +148,7 @@ class NLMDenoiser:
             self.denoise_strength * self.decay**t,
         )
         sigma = jnp.where(use_est, sigma_est * self.sigma_modifier, 0.0)
-        if self.use_pallas and x.ndim == 2:
+        if self._use_pallas():
             from pnp_svrg_tpu.ops.pallas.nlm_kernel import nlm_denoise_pallas
 
             return nlm_denoise_pallas(

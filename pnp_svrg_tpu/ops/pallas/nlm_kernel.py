@@ -11,6 +11,11 @@ starts; dynamic rotates have neither restriction.)
 
 Patch sums use p-1 shifted adds per axis instead of a window reduction —
 for the reference's patch_size=4 that is 6 vector adds per shift.
+
+Batched (B, H, W) input runs as a grid over the batch axis — one image per
+grid step, each with its own (h, sigma) pair from SMEM — so the PnP loops'
+natively-batched denoiser calls (``core/batched.py``) hit this kernel
+without host-side loops.
 """
 
 from __future__ import annotations
@@ -24,18 +29,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _nlm_kernel(hs_ref, xp_ref, out_ref, *, hh, ww, pr, patch_size, patch_distance):
-    h_val = hs_ref[0]
-    sigma = hs_ref[1]
+    h_val = hs_ref[0, 0]
+    sigma = hs_ref[0, 1]
     p = patch_size
     d = patch_distance
     side = 2 * d + 1
     inv_h2 = 1.0 / (h_val * h_val * p * p)
     offset = 2.0 * sigma * sigma * (p * p)
-    ha, wa = xp_ref.shape  # tile-aligned canvas
+    ha, wa = xp_ref.shape[-2:]  # tile-aligned canvas
 
     row = jax.lax.broadcasted_iota(jnp.int32, (ha, wa), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (ha, wa), 1)
-    xp = xp_ref[:]
+    xp = xp_ref[0]
 
     def body(i, carry):
         wsum, acc = carry
@@ -67,7 +72,7 @@ def _nlm_kernel(hs_ref, xp_ref, out_ref, *, hh, ww, pr, patch_size, patch_distan
     wsum0 = jnp.zeros((ha, wa), jnp.float32)
     acc0 = jnp.zeros((ha, wa), jnp.float32)
     wsum, acc = jax.lax.fori_loop(0, side * side, body, (wsum0, acc0))
-    out_ref[:] = (acc / jnp.maximum(wsum, 1e-12))[:hh, :ww]
+    out_ref[0] = (acc / jnp.maximum(wsum, 1e-12))[:hh, :ww]
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -85,20 +90,31 @@ def nlm_denoise_pallas(
     patch_distance: int = 5,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Pallas NLM of a 2-D image; numerically identical to
-    ``pnp_svrg_tpu.denoisers.nlm.nlm_denoise`` (tested in interpret mode)."""
+    """Pallas NLM of a 2-D image or a (B, H, W) batch; numerically identical
+    to ``pnp_svrg_tpu.denoisers.nlm.nlm_denoise`` (tested in interpret mode).
+
+    ``h`` / ``sigma`` may be scalars or (B,) per-lane values (the tuner and
+    the batched PnP runner pass per-lane sigma_modifier products).
+    """
     x = image.astype(jnp.float32)
-    hh, ww = x.shape
+    single = x.ndim == 2
+    if single:
+        x = x[None]
+    bsz, hh, ww = x.shape
     pr = patch_size // 2
+    hb = jnp.broadcast_to(jnp.asarray(h, jnp.float32).reshape(-1), (bsz,))
+    sb = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32).reshape(-1), (bsz,))
+    hs = jnp.stack([hb, sb], axis=1)  # (B, 2)
     # Reflect-pad by the patch radius (skimage semantics), then zero-pad up
     # to tile-aligned canvas sizes (sublane 8, lane 128): every kernel
     # intermediate keeps this aligned shape, and circular wraparound only
     # reaches positions the validity mask removes.
-    xp = jnp.pad(x, pr, mode="reflect")
+    xp = jnp.pad(x, ((0, 0), (pr, pr), (pr, pr)), mode="reflect")
     ha = _ceil_to(hh + 2 * pr + patch_distance, 8)
     wa = _ceil_to(ww + 2 * pr + patch_distance, 128)
-    xp = jnp.pad(xp, ((0, ha - (hh + 2 * pr)), (0, wa - (ww + 2 * pr))))
-    hs = jnp.stack([jnp.asarray(h, jnp.float32), jnp.asarray(sigma, jnp.float32)])
+    xp = jnp.pad(
+        xp, ((0, 0), (0, ha - (hh + 2 * pr)), (0, wa - (ww + 2 * pr)))
+    )
 
     kernel = functools.partial(
         _nlm_kernel,
@@ -108,13 +124,17 @@ def nlm_denoise_pallas(
         patch_size=patch_size,
         patch_distance=patch_distance,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((hh, ww), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, hh, ww), jnp.float32),
+        grid=(bsz,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ha, wa), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, hh, ww), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(hs, xp)
+    return out[0] if single else out
