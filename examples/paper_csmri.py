@@ -46,6 +46,7 @@ def main(argv=None):
     from pnp_svrg_tpu import pnp_gd, pnp_sgd, pnp_svrg, pnp_saga, pnp_sarah
     from pnp_svrg_tpu.denoisers import BM3DDenoiser
     from pnp_svrg_tpu.denoisers.bm3d import BM3DParams
+    from pnp_svrg_tpu.ops.metrics import ssim
     from pnp_svrg_tpu.problems import make_csmri
     from pnp_svrg_tpu.utils import load_image
     from pnp_svrg_tpu.utils.viz import write_metrics_csv
@@ -112,6 +113,7 @@ def main(argv=None):
         rows.append({
             "algorithm": out["algo_name"],
             "final_psnr": round(final, 2),
+            "final_ssim": round(float(np.asarray(ssim(prob.x, out["image"]))), 4),
             "delta_psnr": round(final - init_psnr, 2),
             "reference_psnr": ref_psnr,
             "margin_vs_reference": round(final - ref_psnr, 2),

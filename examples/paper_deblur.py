@@ -27,6 +27,7 @@ def main(argv=None):
     from pnp_svrg_tpu import pnp_svrg, pnp_gd
     from pnp_svrg_tpu.denoisers import BM3DDenoiser
     from pnp_svrg_tpu.denoisers.bm3d import BM3DParams
+    from pnp_svrg_tpu.ops.metrics import ssim
     from pnp_svrg_tpu.problems import make_deblur
     from pnp_svrg_tpu.utils import load_image
     from pnp_svrg_tpu.utils.viz import write_metrics_csv
@@ -47,11 +48,17 @@ def main(argv=None):
     # PnP here is semi-convergent: PSNR peaks then decays as the denoiser
     # keeps smoothing after the decayed data steps vanish. These budgets
     # stop near the peak (~+9 dB over the uniform-random init).
+    # Step sizes are tuned at 256^2; the deblur gradient scales with the
+    # image size (the kernel is divided by N), so the 128^2 --small run
+    # rescales eta by 16 (measured: unscaled eta diverges to -115 dB there).
+    es = 16.0 if args.small else 1.0
     runs = {
         "svrg+bm3d": lambda: pnp_svrg(
-            prob, den, eta=2e9, n_outer=4, t2=6, mini_batch_size=5000,
+            prob, den, eta=2e9 / es, n_outer=4, t2=6,
+            mini_batch_size=5000 if not args.small else 1250,
             lr_decay=0.6, key=key),
-        "gd+bm3d": lambda: pnp_gd(prob, den, eta=1e10, n_iters=8, lr_decay=0.9),
+        "gd+bm3d": lambda: pnp_gd(prob, den, eta=1e10 / es, n_iters=8,
+                                  lr_decay=0.9),
     }
     rows = []
     for name, fn in runs.items():
@@ -60,6 +67,7 @@ def main(argv=None):
         rows.append({
             "run": name,
             "final_psnr": round(float(out["final_psnr"]), 2),
+            "final_ssim": round(float(np.asarray(ssim(prob.x, out["image"]))), 4),
             "delta_psnr": round(float(out["final_psnr"]) - init_psnr, 2),
             "seconds": round(time.time() - t0, 2),
         })

@@ -33,6 +33,12 @@ def main(argv=None):
     parser.add_argument("--outers", type=int, nargs="+", default=[20, 30])
     parser.add_argument("--t2", type=int, default=8)
     parser.add_argument("--mb", type=int, default=800)
+    parser.add_argument("--algo", default="svrg", choices=["svrg", "sarah"])
+    parser.add_argument("--denoiser", default="bm3d",
+                        choices=["bm3d", "realsn"],
+                        help="realsn = RealSN-DnCNN (framework-trained "
+                             "sigma=5 checkpoint); ignores sigma_modifier, "
+                             "so --mods collapses to [1.0]")
     parser.add_argument("--chunk", type=int, default=4,
                         help="configs per compiled batch; each lane carries "
                              "its own (M, N) matrix (4 lanes at 8192x16384 "
@@ -53,8 +59,9 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from pnp_svrg_tpu.algorithms.loops import pnp_svrg
+    from pnp_svrg_tpu.algorithms.loops import pnp_sarah, pnp_svrg
     from pnp_svrg_tpu.core.batched import stack_problems
+    from pnp_svrg_tpu.denoisers import DnCNNDenoiser
     from pnp_svrg_tpu.denoisers.bm3d import BM3DDenoiser, BM3DParams
     from pnp_svrg_tpu.problems import make_phase_retrieval
     from pnp_svrg_tpu.utils.io import load_image, resolve_data_path
@@ -62,6 +69,9 @@ def main(argv=None):
     h = args.size
     img = jnp.asarray(load_image(resolve_data_path("Set12/04.png"), h, h))
 
+    loop = {"svrg": pnp_svrg, "sarah": pnp_sarah}[args.algo]
+    if args.denoiser == "realsn":
+        args.mods = [1.0]  # RealSN-DnCNN uses its training sigma
     configs = list(itertools.product(args.etas, args.decays, args.mods))
 
     def eval_batch(n_outer, chunk):
@@ -76,8 +86,11 @@ def main(argv=None):
         eta = jnp.asarray([c[0] for c in chunk], jnp.float32)
         dec = jnp.asarray([c[1] for c in chunk], jnp.float32)
         mod = jnp.asarray([c[2] for c in chunk], jnp.float32)
-        den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(search=8))
-        out = pnp_svrg(
+        if args.denoiser == "realsn":
+            den = DnCNNDenoiser.from_pretrained("RealSN_DnCNN", sigma=5)
+        else:
+            den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(search=8))
+        out = loop(
             batched, den, eta=eta, n_outer=n_outer, t2=args.t2,
             mini_batch_size=args.mb, lr_decay=dec, key=jax.random.PRNGKey(5),
         )
@@ -109,6 +122,7 @@ def main(argv=None):
     print(f"winner: {best[0]:.2f} dB  config={best[1]}", file=sys.stderr)
     provenance = {
         "tuner": "examples/tune_pr.py",
+        "algo": args.algo, "denoiser": args.denoiser,
         "etas": args.etas, "decays": args.decays, "mods": args.mods,
         "outers": args.outers, "t2": args.t2, "mb": args.mb,
         "size": args.size, "num_meas": args.num_meas,
