@@ -345,6 +345,44 @@ def main():
             file=sys.stderr,
         )
 
+    # ---- PR + PnP-SARAH + RealSN-DnCNN lane (BASELINE configs[3]:
+    # reference ``problems/PR.py:12-87`` + ``denoisers/RealSN_DnCNN.py:8-42``;
+    # no recorded upstream PSNR — this pins ours). Framework-trained sigma=5
+    # checkpoint; config from examples/tune_pr.py --algo sarah
+    # --denoiser realsn (data/pr_sarah_realsn_tuned.json).
+    sarah_tuned = _load_json(os.path.join(DATA, "pr_sarah_realsn_tuned.json"))
+    if sarah_tuned and have_time("pr_sarah_realsn"):
+        from pnp_svrg_tpu.algorithms.loops import pnp_sarah
+        from pnp_svrg_tpu.denoisers import DnCNNDenoiser
+
+        sa_cfg = {"eta": 0.05, "lr_decay": 0.99, "n_outer": 20, "t2": 8,
+                  "mini_batch_size": 800}
+        sa_cfg.update({k: v for k, v in sarah_tuned.items() if k in sa_cfg})
+        sa_outer = min(int(sa_cfg["n_outer"]), n_outer) if "BENCH_OUTER" in os.environ else int(sa_cfg["n_outer"])
+        note(f"PR+SARAH+RealSN lane (n_outer={sa_outer}, compiling if "
+             f"cache cold)")
+        img04s = jnp.asarray(load_image(resolve_data_path("Set12/04.png"), h, w))
+        prs = make_phase_retrieval(
+            jax.random.PRNGKey(4), img04s, num_meas=8192, snr=20
+        )
+        realsn = DnCNNDenoiser.from_pretrained("RealSN_DnCNN", sigma=5)
+        sa_out = pnp_sarah(
+            prs, realsn, eta=sa_cfg["eta"], n_outer=sa_outer,
+            t2=int(sa_cfg["t2"]),
+            mini_batch_size=int(sa_cfg["mini_batch_size"]),
+            lr_decay=sa_cfg["lr_decay"], key=jax.random.PRNGKey(5),
+        )
+        sa_psnr = float(np.asarray(sa_out["final_psnr"]))
+        sa_ssim = float(np.asarray(ssim(prs.x, sa_out["image"])))
+        record["pr_sarah_realsn_psnr_db"] = round(sa_psnr, 2)
+        record["pr_sarah_realsn_ssim"] = round(sa_ssim, 4)
+        print(
+            f"bench quality: PR+SARAH+RealSN-DnCNN (BASELINE configs[3]) "
+            f"{sa_psnr:.2f} dB SSIM {sa_ssim:.3f} "
+            f"(no recorded upstream number)",
+            file=sys.stderr,
+        )
+
     # ---- Deblur + BM3D lane (reference deblur notebook config, no saved
     # outputs upstream — this pins our own quality + throughput numbers).
     # Hyperparameters from examples/tune_deblur.py (data/deblur_tuned.json);
