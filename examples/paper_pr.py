@@ -112,9 +112,10 @@ def main(argv=None):
             "sgd+mmo": lambda: pnp_sgd(
                 prob, mmo, eta=0.02, n_iters=400, mini_batch_size=1000, key=key),
             "gd+mmo": lambda: pnp_gd(prob, mmo, eta=0.1, n_iters=400),
+            # Tuned winner (data/pr_sarah_realsn_tuned.json): 21.8 dB.
             "sarah+realsn": lambda: pnp_sarah(
-                prob, realsn, eta=0.05, n_outer=20, t2=8,
-                mini_batch_size=800, lr_decay=0.99, key=key),
+                prob, realsn, eta=0.05, n_outer=30, t2=8,
+                mini_batch_size=800, lr_decay=1.0, key=key),
         }
 
     rows = []

@@ -61,6 +61,11 @@ def main(argv=None):
     psnr_i = -10 * np.log10(mse_i)
     psnr_r = -10 * np.log10(mse_r)
     print(f"zero-filled {psnr_i:.2f} dB -> reconstructed {psnr_r:.2f} dB")
+    for c, name in enumerate("RGB"):
+        m_i = float(np.mean((init[..., c] - orig[..., c]) ** 2))
+        m_r = float(np.mean((recon[..., c] - orig[..., c]) ** 2))
+        print(f"  channel {name}: {-10 * np.log10(m_i):.2f} -> "
+              f"{-10 * np.log10(m_r):.2f} dB")
 
     fig = show_grid(
         [orig, init, recon],

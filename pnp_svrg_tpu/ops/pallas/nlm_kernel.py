@@ -29,8 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _nlm_kernel(hs_ref, xp_ref, out_ref, *, hh, ww, pr, patch_size, patch_distance):
-    h_val = hs_ref[0, 0]
-    sigma = hs_ref[0, 1]
+    # hs is the full (B, 2) array in SMEM (Mosaic rejects blocked SMEM specs
+    # whose trailing dims are neither tile-aligned nor the full array).
+    b = pl.program_id(0)
+    h_val = hs_ref[b, 0]
+    sigma = hs_ref[b, 1]
     p = patch_size
     d = patch_distance
     side = 2 * d + 1
@@ -129,7 +132,7 @@ def nlm_denoise_pallas(
         out_shape=jax.ShapeDtypeStruct((bsz, hh, ww), jnp.float32),
         grid=(bsz,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ha, wa), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -93,18 +93,25 @@ def main(argv=None):
         search=args.search, match_dtype=args.match_dtype))
 
     def make_run(n_outer):
-        def run(key):
-            out = pnp_svrg(batched, den, eta=eta, n_outer=n_outer, t2=t2,
+        # The problem/eta/mod go in as ARGUMENTS: closure-captured device
+        # arrays would be embedded as constants at lower() time, which needs
+        # a device->host copy the axon backend can't do (UNIMPLEMENTED).
+        def run_fn(problem, eta_v, mod_v, key):
+            d = BM3DDenoiser(sigma_modifier=mod_v, params=BM3DParams(
+                search=args.search, match_dtype=args.match_dtype))
+            out = pnp_svrg(problem, d, eta=eta_v, n_outer=n_outer, t2=t2,
                            mini_batch_size=mb, key=key)
             return out["final_psnr"]
-        return run
+
+        jitted = jax.jit(run_fn)
+        return jitted, lambda key: jitted(batched, eta, mod, key)
 
     def sync(x):
         float(np.asarray(x.reshape(-1)[0]))
 
     # ---- cost analysis of the EXACT headline program ----------------------
-    run = make_run(args.outer)
-    lowered = jax.jit(run).lower(jax.random.PRNGKey(1))
+    jitted, run = make_run(args.outer)
+    lowered = jitted.lower(batched, eta, mod, jax.random.PRNGKey(1))
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
@@ -132,7 +139,7 @@ def main(argv=None):
           file=sys.stderr)
 
     # ---- per-op residual table -------------------------------------------
-    trace_run = make_run(args.trace_outer)
+    _, trace_run = make_run(args.trace_outer)
     sync(trace_run(jax.random.PRNGKey(3)))  # compile before tracing
     with jax.profiler.trace(args.logdir):
         sync(trace_run(jax.random.PRNGKey(4)))
