@@ -40,9 +40,19 @@ def main(argv=None):
                              "sigma=5 checkpoint); ignores sigma_modifier, "
                              "so --mods collapses to [1.0]")
     parser.add_argument("--chunk", type=int, default=4,
-                        help="configs per compiled batch; each lane carries "
+                        help="LANES per compiled batch; each lane carries "
                              "its own (M, N) matrix (4 lanes at 8192x16384 "
                              "f32 = 2.1 GB — 12 lanes OOM a 16 GB chip)")
+    parser.add_argument("--replicas", type=int, default=1,
+                        help="evaluate each config in this many batch lanes "
+                             "and score by the REPLICA MEAN. Batched lanes "
+                             "draw minibatch keys fold_in(key, lane) "
+                             "(core/batched.py select_mb), so a 1-lane "
+                             "winner is partly key luck — PR+SARAH swings "
+                             "several dB across key streams. With "
+                             "replicas == lanes-per-batch the bench lane "
+                             "(same batch size, same keys) reproduces the "
+                             "tuned mean exactly.")
     parser.add_argument("--out", default=None,
                         help="optional JSON path for the winning config")
     args = parser.parse_args(argv)
@@ -73,15 +83,22 @@ def main(argv=None):
     if args.denoiser == "realsn":
         args.mods = [1.0]  # RealSN-DnCNN uses its training sigma
     configs = list(itertools.product(args.etas, args.decays, args.mods))
+    R = max(1, args.replicas)
+    if args.chunk % R:
+        raise SystemExit("--chunk must be a multiple of --replicas")
 
     def eval_batch(n_outer, chunk):
-        # C identical copies of the bench problem; per-lane hyperparameters.
+        # Each config occupies R adjacent lanes (identical hyperparameters,
+        # distinct fold_in(key, lane) minibatch streams); scores below are
+        # replica means.
+        lanes = [c for c in chunk for _ in range(R)]
         probs = [
             make_phase_retrieval(
                 jax.random.PRNGKey(4), img, num_meas=args.num_meas, snr=20
             )
-            for _ in chunk
+            for _ in lanes
         ]
+        chunk = lanes
         batched = stack_problems(probs)
         eta = jnp.asarray([c[0] for c in chunk], jnp.float32)
         dec = jnp.asarray([c[1] for c in chunk], jnp.float32)
@@ -94,12 +111,13 @@ def main(argv=None):
             batched, den, eta=eta, n_outer=n_outer, t2=args.t2,
             mini_batch_size=args.mb, lr_decay=dec, key=jax.random.PRNGKey(5),
         )
-        return np.asarray(out["final_psnr"], float)
+        lane_psnr = np.asarray(out["final_psnr"], float)
+        return lane_psnr.reshape(-1, R).mean(axis=1)
 
     best = (-1e9, None)
     # Fixed chunk size so every (n_outer, chunk) pair reuses one compiled
     # program per n_outer (jit keys on shapes, not values).
-    C = args.chunk
+    C = max(1, args.chunk // R)
     while len(configs) % C:
         configs.append(configs[-1])
     for n_outer in args.outers:
@@ -126,8 +144,10 @@ def main(argv=None):
         "etas": args.etas, "decays": args.decays, "mods": args.mods,
         "outers": args.outers, "t2": args.t2, "mb": args.mb,
         "size": args.size, "num_meas": args.num_meas,
+        "replicas": R,
     }
-    record = {"psnr_db": best[0], **best[1], "provenance": provenance}
+    record = {"psnr_db": best[0], "replicas": R, **best[1],
+              "provenance": provenance}
     print(json.dumps(record))
     if args.out:
         with open(args.out, "w") as f:
