@@ -485,9 +485,14 @@ def main():
     # end-to-end (ops/resize.py), not just in adjointness tests. Tuned via
     # ``examples/tune_deblur.py --kernel kernel25.png --scale 50 --snr 20``
     # (data/deblur_sr_tuned.json).
+    # NOTE the eta scale: kernel25.png loads as raw uint8 pixel values
+    # scaled only by 1/N (reference DeblurSR.py:72-75,93), so the blur
+    # operator norm is ~10 decades above the "Minimal" kernel's — measured
+    # Hessian spectral norms L~1.5 (kernel25/SR) vs L~2.3e-10 (Minimal),
+    # hence eta ~1 here vs ~4e9 above.
     if have_time("deblur_sr_bm3d"):
-        sr_cfg = {"eta": 2e9, "lr_decay": 0.9, "sigma_modifier": 2.0,
-                  "n_outer": 4, "t2": 6, "mini_batch_size": 5000}
+        sr_cfg = {"eta": 1.2, "lr_decay": 1.0, "sigma_modifier": 12.0,
+                  "n_outer": 24, "t2": 10, "mini_batch_size": 5000}
         sr_tuned = _load_json(os.path.join(DATA, "deblur_sr_tuned.json"))
         if sr_tuned:
             sr_cfg.update({k: v for k, v in sr_tuned.items() if k in sr_cfg})
