@@ -138,6 +138,45 @@ def main(argv=None):
           f"{achieved_bw/1e9:.0f} GB/s ({100*bw_util:.1f}% HBM peak)",
           file=sys.stderr)
 
+    # ---- batch scaling: where is the per-chip operating point? -----------
+    # At 13 lanes the program is neither MXU- nor HBM-bound by the static
+    # roofline (sub-1% utilizations). Measure whether image-iters/s grows
+    # with more data-parallel lanes (SAME Set12 problems replicated) or
+    # whether 13 lanes already sits at the per-chip optimum. Measured on
+    # v5e: throughput DEGRADES super-linearly past 13 lanes (846 -> 664 ->
+    # 525 it/s at 13/26/52) — the block-matching gather/scatter working set
+    # outgrows on-chip memory, so scale-out belongs on the mesh batch axis
+    # (parallel/runner.py), one ~13-lane program per chip.
+    scaling = []
+    for mult in (1, 2, 4):
+        probs_m = problems * mult
+        batched_m = stack_problems(probs_m)
+        eta_m = jnp.concatenate([eta] * mult)
+        mod_m = jnp.concatenate([mod] * mult)
+
+        def run_m(problem, eta_v, mod_v, key):
+            d = BM3DDenoiser(sigma_modifier=mod_v, params=BM3DParams(
+                search=args.search, match_dtype=args.match_dtype))
+            out = pnp_svrg(problem, d, eta=eta_v, n_outer=args.outer, t2=t2,
+                           mini_batch_size=mb, key=key)
+            return out["final_psnr"]
+
+        jit_m = jax.jit(run_m)
+        sync(jit_m(batched_m, eta_m, mod_m, jax.random.PRNGKey(1)))
+        t0 = time.time()
+        sync(jit_m(batched_m, eta_m, mod_m, jax.random.PRNGKey(2)))
+        steady_m = time.time() - t0
+        lanes = bsz * mult
+        row = {
+            "lanes": lanes,
+            "steady_seconds": round(steady_m, 3),
+            "image_iters_per_sec": round(
+                lanes * args.outer * (t2 + 1) / steady_m, 1
+            ),
+        }
+        scaling.append(row)
+        print(f"batch scaling: {row}", file=sys.stderr)
+
     # ---- per-op residual table -------------------------------------------
     _, trace_run = make_run(args.trace_outer)
     sync(trace_run(jax.random.PRNGKey(3)))  # compile before tracing
@@ -153,7 +192,8 @@ def main(argv=None):
     rows.sort(key=lambda r: -r[3])
     total_ps = sum(r[3] for r in rows)
     top_ops = [
-        {"op": op, "ms": round(tot / 1e9, 3),
+        {"op": (op if len(op) <= 160 else op[:157] + "..."),
+         "ms": round(tot / 1e9, 3),
          "pct": round(100 * tot / max(total_ps, 1), 2), "count": cnt}
         for (_, _, op, tot, cnt) in rows[: args.top]
     ]
@@ -184,6 +224,7 @@ def main(argv=None):
                 100 * max(bw_util, flops_util), 2
             ),
         },
+        "batch_scaling": scaling,
         "trace": {
             "traced_outer": args.trace_outer,
             "total_device_ms": round(total_ps / 1e9, 2),
