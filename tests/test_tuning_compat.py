@@ -229,3 +229,49 @@ class TestBatchedTrials:
         res = sweep_grid(cells, max_evals=8, n_iters=5, trial_batch=4,
                          csv_path=tmp_path / "b.csv", verbose=False)
         assert len(res) == 1 and np.isfinite(res[0].best_loss)
+
+
+class TestBenchTuners:
+    """The examples/ bench tuners, driven end-to-end at toy sizes."""
+
+    def test_tune_pr_replica_mean(self, tmp_path):
+        """--replicas R: each config occupies R adjacent batch lanes
+        (distinct fold_in(key, lane) minibatch streams) and is scored by
+        the replica MEAN — the seed-robust quantity the bench SARAH lane
+        certifies (data/pr_sarah_realsn_tuned.json)."""
+        import json
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        out = tmp_path / "pr_tuned.json"
+        proc = subprocess.run(
+            [sys.executable, str(repo / "examples" / "tune_pr.py"),
+             "--cpu", "--size", "32", "--num-meas", "128",
+             "--etas", "0.05", "0.1", "--decays", "1.0",
+             "--outers", "2", "--t2", "2", "--mb", "32",
+             "--chunk", "4", "--replicas", "2",
+             "--out", str(out)],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        rec = json.loads(out.read_text())
+        assert rec["replicas"] == 2
+        assert rec["provenance"]["replicas"] == 2
+        assert np.isfinite(rec["psnr_db"])
+        assert rec["eta"] in (0.05, 0.1)
+
+    def test_tune_pr_chunk_not_multiple_of_replicas(self):
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        proc = subprocess.run(
+            [sys.executable, str(repo / "examples" / "tune_pr.py"),
+             "--cpu", "--chunk", "3", "--replicas", "2"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert proc.returncode != 0
+        assert "multiple of" in proc.stderr
