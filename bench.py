@@ -41,12 +41,22 @@ Lanes (in order; details on stderr):
   ``/root/reference/problems/CSMRI.py:43-45``), per-lane tuned from
   ``data/set12_csmri_uniform_tuned.json``. Same compiled program — data
   differs, shapes don't.
+* A CSMRI + NLM lane — 13.png, reference-exact mask, PnP-SVRG with the
+  default (Pallas on TPU) NLM kernel (BASELINE configs[1]), config from
+  ``data/csmri_nlm_tuned.json`` (``examples/tune_csmri_nlm.py``).
 * A PR + BM3D lane — Set12/04, alpha=0.5, SNR 20 (BASELINE.md PR table:
   SVRG+BM3D 26.8 dB), config loaded from ``data/pr_tuned.json``
   (``examples/tune_pr.py``).
+* A PR + PnP-SARAH + RealSN-DnCNN lane (BASELINE configs[3]) certifying the
+  replica-mean PSNR over 4 minibatch key streams, config from
+  ``data/pr_sarah_realsn_tuned.json`` (``examples/tune_pr.py --algo sarah
+  --denoiser realsn --replicas 4``).
 * A Deblur + BM3D lane — Set12/01 at 256x256, "Minimal" kernel, SNR 5 (the
   reference deblur notebook's configuration, which saved no outputs; this
   pins our own number) from ``data/deblur_tuned.json``.
+* A Deblur-SR + BM3D lane — 25x25 ``kernel25.png`` blur + 50% bilinear
+  downsampling at SNR 20 (BASELINE configs[2]) from
+  ``data/deblur_sr_tuned.json``.
 
 Every quality lane records SSIM next to PSNR (the north-star metric is
 "PSNR/SSIM"; SSIM via ``ops/metrics.ssim``, skimage-convention).
@@ -330,6 +340,45 @@ def main():
             f"{ussims.mean():.3f} (per-image: {upsnrs.round(2).tolist()}; "
             f"7/12 masks lose DC by the reference's coin flip — see note "
             f"above)",
+            file=sys.stderr,
+        )
+
+    # ---- CSMRI + NLM quality lane (BASELINE configs[1]: "CSMRI on 13.png:
+    # PnP-SVRG + NLM denoiser" — reference pnp_csmri.py problem family with
+    # the denoisers/NLM.py prior; no recorded upstream number, this pins
+    # ours). On TPU the default NLM path is the fused Pallas kernel
+    # (use_pallas=None auto-select, data/nlm_pallas_v5e.json), so this lane
+    # exercises the production kernel end-to-end. Config from
+    # examples/tune_csmri_nlm.py.
+    nlm_tuned = _load_json(os.path.join(DATA, "csmri_nlm_tuned.json"))
+    if nlm_tuned and have_time("csmri_nlm"):
+        from pnp_svrg_tpu.denoisers import NLMDenoiser
+
+        nl_cfg = {"eta": 4000.0, "lr_decay": 1.0, "sigma_modifier": 1.0,
+                  "n_outer": 16, "t2": 10, "mini_batch_size": 4000}
+        nl_cfg.update({k: v for k, v in nlm_tuned.items() if k in nl_cfg})
+        nl_outer = min(int(nl_cfg["n_outer"]), n_outer) if "BENCH_OUTER" in os.environ else int(nl_cfg["n_outer"])
+        note(f"CSMRI+NLM lane (13.png, n_outer={nl_outer}, Pallas-default "
+             f"NLM, compiling if cache cold)")
+        nlp = make_csmri(
+            jax.random.PRNGKey(0),
+            jnp.asarray(load_image(resolve_data_path("13.png"), h, w)),
+            sample_prob=0.5, snr=10, keep_low_freq=0,
+        )
+        nl_out = pnp_svrg(
+            nlp, NLMDenoiser(sigma_modifier=nl_cfg["sigma_modifier"]),
+            eta=nl_cfg["eta"], n_outer=nl_outer, t2=int(nl_cfg["t2"]),
+            mini_batch_size=int(nl_cfg["mini_batch_size"]),
+            lr_decay=nl_cfg["lr_decay"], key=jax.random.PRNGKey(2),
+        )
+        nl_psnr = float(np.asarray(nl_out["final_psnr"]))
+        nl_ssim = float(np.asarray(ssim(nlp.x, nl_out["image"])))
+        record["csmri_nlm_psnr_db"] = round(nl_psnr, 2)
+        record["csmri_nlm_ssim"] = round(nl_ssim, 4)
+        print(
+            f"bench quality: CSMRI+NLM (13.png, reference-exact mask, "
+            f"BASELINE configs[1]) {nl_psnr:.2f} dB SSIM {nl_ssim:.3f} "
+            f"(no recorded upstream number)",
             file=sys.stderr,
         )
 
