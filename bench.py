@@ -18,9 +18,10 @@ print — VERDICT.md "What's weak" #1):
   throughput/quality), each its own XLA compile.
 * ``BENCH_BSZ`` / ``BENCH_OUTER`` shrink every lane (Set12 lane count /
   iteration budgets, including the PR and deblur lanes):
-  ``BENCH_BSZ=2 BENCH_OUTER=2 python bench.py`` completes in well under a
-  minute. Per-lane tuned configs are sliced by lane NAME, so any subset
-  works.
+  ``BENCH_BSZ=2 BENCH_OUTER=2 python bench.py`` exits 0 in ~4 min with a
+  cold compile cache (shrunken shapes are fresh XLA programs) and well
+  under a minute warm. Per-lane tuned configs are sliced by lane NAME, so
+  any subset works.
 
 Lanes (in order; details on stderr):
 
