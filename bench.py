@@ -334,6 +334,22 @@ def main():
         record["set12_uniform_mean_delta_db"] = round(
             float((upsnrs - uinit).mean()), 2
         )
+        # Per-lane identifiability: a lane whose uniform Bernoulli mask lost
+        # the DC coefficient cannot recover the image mean — its final PSNR
+        # caps in the low teens regardless of algorithm. Recording per-image
+        # init/final PSNR + the dc_lost flag makes that machine-readable
+        # (separates "mask unidentifiable" from tuning regressions).
+        udc = [
+            bool(np.asarray(p.mask)[0, 0] == 0) for p in uproblems[:n_set12]
+        ]
+        record["set12_uniform_lanes"] = lane_names[:n_set12]
+        record["set12_uniform_psnr_db_per_image"] = [
+            round(float(v), 2) for v in upsnrs
+        ]
+        record["set12_uniform_init_psnr_db_per_image"] = [
+            round(float(v), 2) for v in uinit
+        ]
+        record["set12_uniform_dc_lost_per_image"] = udc
         print(
             f"bench quality: Set12 uniform (reference-exact) masks mean "
             f"{upsnrs.mean():.2f} dB (init {uinit.mean():.2f}, delta "
@@ -350,7 +366,11 @@ def main():
     # ours). On TPU the default NLM path is the fused Pallas kernel
     # (use_pallas=None auto-select, data/nlm_pallas_v5e.json), so this lane
     # exercises the production kernel end-to-end. Config from
-    # examples/tune_csmri_nlm.py.
+    # examples/tune_csmri_nlm.py. NOTE: the tuner scored this config in a
+    # batched grid (fold_in(key, lane) minibatch streams) while this lane
+    # replays it single-problem (raw key stream) — expect a small
+    # tuned-vs-bench gap (measured 27.16 tuned vs 27.09 here; NLM is far
+    # less key-stream-sensitive than PR+SARAH).
     nlm_tuned = _load_json(os.path.join(DATA, "csmri_nlm_tuned.json"))
     if nlm_tuned and have_time("csmri_nlm"):
         from pnp_svrg_tpu.denoisers import NLMDenoiser

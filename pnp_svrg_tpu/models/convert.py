@@ -161,6 +161,8 @@ CONVERSIONS = {
     "simplecnn_noise5": "denoisers/DeepDenoisers/Pretrained_models/SimpleCNN_noise5.pth",
     "simplecnn_noise15": "denoisers/DeepDenoisers/Pretrained_models/SimpleCNN_noise15.pth",
     "simplecnn_noise40": "denoisers/DeepDenoisers/Pretrained_models/SimpleCNN_noise40.pth",
+    "realsn_simplecnn_noise5": "denoisers/DeepDenoisers/Pretrained_models/RealSN_SimpleCNN_noise5.pth",
+    "realsn_simplecnn_noise15": "denoisers/DeepDenoisers/Pretrained_models/RealSN_SimpleCNN_noise15.pth",
     "realsn_simplecnn_noise40": "denoisers/DeepDenoisers/Pretrained_models/RealSN_SimpleCNN_noise40.pth",
     "mmo_dncnn_nobn_nch1_nlev0.009": "denoisers/checkpoints/pretrained/DnCNN_nobn_nch_1_nlev_0.009.pth",
     "mmo_dncnn_nobn_nch1_nlev0.01": "denoisers/checkpoints/pretrained/DnCNN_nobn_nch_1_nlev_0.01.pth",

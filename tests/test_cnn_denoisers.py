@@ -74,6 +74,55 @@ class TestPretrained:
         out = den.denoise(noisy)
         assert out.shape == noisy.shape
 
+    @pytest.mark.parametrize("model_type,sigma", [
+        ("SimpleCNN", 15), ("RealSN_SimpleCNN", 5), ("RealSN_SimpleCNN", 15),
+        ("RealSN_SimpleCNN", 40),
+    ])
+    def test_simplecnn_forward_matches_torch_replay(self, rng, model_type, sigma):
+        """Converted-weight parity: the Flax forward on the converted .npz
+        must match a torch-functional replay of the original .pth state dict
+        (conv(pad=1, no bias) + ReLU x3, conv — the SimpleCNN topology,
+        reference ``DeepDenoisers/model/SimpleCNN_models.py:6-33``)."""
+        torch = pytest.importorskip("torch")
+        from pnp_svrg_tpu.models.convert import (
+            REFERENCE_ROOT, _load_torch_state_dict,
+        )
+
+        pth = (REFERENCE_ROOT / "denoisers/DeepDenoisers/Pretrained_models"
+               / f"{model_type}_noise{sigma}.pth")
+        if not pth.exists():
+            pytest.skip(f"{pth} not present")
+        sd = _load_torch_state_dict(pth)
+        x = rng.standard_normal((1, 1, 24, 24)).astype(np.float32)
+
+        with torch.no_grad():
+            h = torch.as_tensor(x)
+            idxs = sorted({int(k.split(".")[1]) for k in sd})
+            for n, idx in enumerate(idxs):
+                w = torch.as_tensor(np.asarray(sd[f"dncnn.{idx}.weight"]))
+                h = torch.nn.functional.conv2d(h, w, padding=1)
+                if n < len(idxs) - 1:
+                    h = torch.nn.functional.relu(h)
+            ref = h.numpy()
+
+        den = DnCNNDenoiser.from_pretrained(model_type, sigma)
+        model = model_for_type(model_type)
+        out = model.apply(den.variables, jnp.asarray(x[0].transpose(1, 2, 0))[None])
+        np.testing.assert_allclose(
+            np.asarray(out)[0, ..., 0], ref[0, 0], rtol=1e-4, atol=1e-5
+        )
+
+    def test_realsn_simplecnn_end_to_end(self, key, rng):
+        """A SimpleCNN-type converted checkpoint drives the full PnP loop."""
+        from pnp_svrg_tpu.algorithms import pnp_gd
+        from pnp_svrg_tpu.problems import make_csmri
+
+        clean, _ = _noisy_pair(rng)
+        prob = make_csmri(key, clean, sample_prob=0.5, snr=10)
+        den = DnCNNDenoiser.from_pretrained("RealSN_SimpleCNN", 15)
+        out = pnp_gd(prob, den, eta=100.0, n_iters=5)
+        assert np.isfinite(np.asarray(out["psnr_per_iter"])).all()
+
     def test_mmo_denoises(self, rng):
         clean, noisy = _noisy_pair(rng, sigma=0.01)
         den = MMODenoiser.from_pretrained(channels=1, n_lev=0.01)
