@@ -73,6 +73,17 @@ class BM3DParams:
     # than the iterative exact k-argmin at every bench config (S<=625,
     # K=16; data/bm3d_knobs_v5e.json) — PartialReduce only pays off at
     # much larger S/k ratios; kept for that regime.
+    search_step: int = 1  # Candidate-offset stride: offsets are multiples of
+    # search_step within the +-search window (1 = the canonical exhaustive
+    # search). Setting it to a multiple of ``step`` is the TPU-native "grid-
+    # aligned search" operating point: every group member then lands ON the
+    # reference-block lattice, so the aggregation's data-dependent scatter
+    # (the profiled hotspot of the flagship program — 2.4 ms/call at batch
+    # 13, data/flagship_profile_v5e.json) is replaced by a one-hot MXU
+    # contraction over group slots plus S static shifted adds — no scatter
+    # anywhere. Quality tradeoff is real but modest (standalone sigma=25
+    # denoise on 13.png: 25.40 / 24.89 / 24.50 dB at stride 1/2/4); measured
+    # end-to-end numbers in data/bm3d_stride_v5e.json.
 
 
 def _ref_grid(size: int, block: int, step: int) -> np.ndarray:
@@ -258,6 +269,23 @@ def _itransform_3d(coeffs_flat, t3):
     return coeffs_flat @ t3  # t3 is orthonormal: inverse = transpose
 
 
+def _unfold_table(table, block, h, w):
+    """(B, hh, ww, 2, b, b) patch-position table -> (num, den) images via a
+    static unfold-add: one pad-stack-sum (a single fused reduction) —
+    ~3x faster than b*b sequential full-image .at[].add updates on v5e."""
+    hh, ww = table.shape[1], table.shape[2]
+    planes = [
+        jnp.pad(
+            table[:, :, :, :, ky, kx],
+            ((0, 0), (ky, h - hh - ky), (kx, w - ww - kx), (0, 0)),
+        )
+        for ky in range(block)
+        for kx in range(block)
+    ]
+    out = jnp.sum(jnp.stack(planes), axis=0)  # (B, H, W, 2)
+    return out[..., 0], out[..., 1]
+
+
 def _aggregate(est_groups, weights, py, px, block, h, w, kaiser):
     """Weighted overlap-add of patch estimates into (B, H, W) buffers.
 
@@ -281,18 +309,71 @@ def _aggregate(est_groups, weights, py, px, block, h, w, kaiser):
     pidx = (batch_off + py * ww + px).reshape(-1)
     table = jnp.zeros((b * hh * ww, 2 * bb), dtype).at[pidx].add(upd)
     table = table.reshape(b, hh, ww, 2, block, block)
-    # Static unfold-add as one pad-stack-sum (a single fused reduction) —
-    # ~3x faster than b*b sequential full-image .at[].add updates on v5e.
-    planes = [
-        jnp.pad(
-            table[:, :, :, :, ky, kx],
-            ((0, 0), (ky, h - hh - ky), (kx, w - ww - kx), (0, 0)),
-        )
-        for ky in range(block)
-        for kx in range(block)
-    ]
-    out = jnp.sum(jnp.stack(planes), axis=0)  # (B, H, W, 2)
-    return out[..., 0], out[..., 1]
+    return _unfold_table(table, block, h, w)
+
+
+@functools.lru_cache(maxsize=8)
+def _clamp_shift_mats(q_list: tuple, n: int) -> np.ndarray:
+    """(S, n, n) stack of 0/1 clamp-shift matrices: M[s, t, i] = 1 iff
+    clip(i + q_list[s], 0, n-1) == t — the lattice image of
+    ``_gather_groups``' coordinate clip for grid-aligned offsets."""
+    mats = np.zeros((len(q_list), n, n), np.float32)
+    for s, q in enumerate(q_list):
+        for i in range(n):
+            mats[s, int(np.clip(i + q, 0, n - 1)), i] = 1.0
+    return mats
+
+
+def _aggregate_dense(est_groups, weights, top_idx, offsets, block, step, h, w,
+                     kaiser):
+    """Scatter-free aggregation for GRID-ALIGNED search offsets.
+
+    Valid only when every offset is a multiple of ``step`` and the reference
+    grid is the full regular lattice (``(h - block) % step == 0``): each
+    group member then lands on a reference-grid position, so the aggregation
+    decomposes into
+      1. a one-hot contraction over group slots (``oh[s; idx] @ est`` — an
+         MXU matmul, S x K x b*b per reference block) producing per-offset
+         dense contribution grids, and
+      2. S static clamp-shifted adds of those (nR, nC) grids (``_gather_groups``
+         clips member coordinates to the image, which on a regular grid is
+         exactly a clamp of the lattice displacement), then one strided
+         upsample into the standard patch-position table.
+    No data-dependent scatter anywhere — this replaces the profiled hotspot
+    of the flagship program (the (P, 2*b*b) scatter-add, 2.4 ms/call at
+    batch 13; ``data/flagship_profile_v5e.json``).
+    """
+    b, nr, nc, k, bb = est_groups.shape
+    s = len(offsets)
+    hh, ww = h - block + 1, w - block + 1
+    dtype = est_groups.dtype
+    wk = weights[..., None] * kaiser.reshape(-1)  # (B, nR, nC, b*b)
+    # One-hot over the offset axis; contraction over slots k on the MXU.
+    oh = (top_idx[..., None] == jnp.arange(s)).astype(dtype)  # (B,nR,nC,K,S)
+    c_num = jnp.einsum(
+        "bijks,bijkp->bsijp", oh, est_groups,
+        preferred_element_type=jnp.float32,
+    ) * wk[:, None]  # (B, S, nR, nC, bb)
+    cnt = jnp.sum(oh, axis=3)  # (B, nR, nC, S) members per offset
+    c_den = cnt.transpose(0, 3, 1, 2)[..., None] * wk[:, None]
+    c = jnp.concatenate([c_num, c_den], axis=-1)  # (B, S, nR, nC, 2*bb)
+    # Clamp-shifted dense adds on the reference lattice, expressed as tiny
+    # static 0/1 shift matrices applied per offset in ONE contraction —
+    # border members fold onto the border lattice row/column exactly like
+    # ``_gather_groups``' jnp.clip of member coordinates.
+    offs = np.asarray(offsets)
+    sy = jnp.asarray(_clamp_shift_mats(tuple((offs[:, 0] // step).tolist()), nr))
+    sx = jnp.asarray(_clamp_shift_mats(tuple((offs[:, 1] // step).tolist()), nc))
+    grid = jnp.einsum(
+        "sti,bsijp,suj->btup", sy, c, sx,
+        preferred_element_type=jnp.float32,
+    )  # (B, nR, nC, 2*bb)
+    # Strided upsample onto the per-pixel patch-position table, then the
+    # shared static unfold-add.
+    table = jnp.zeros((b, hh, ww, 2 * bb), jnp.float32)
+    table = table.at[:, ::step, ::step].set(grid)
+    table = table.reshape(b, hh, ww, 2, block, block)
+    return _unfold_table(table, block, h, w)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "stages"))
@@ -318,9 +399,17 @@ def bm3d_denoise_batch(
     # rows/cols/offsets stay numpy: static constants baked into the program.
     rows = _ref_grid(h, p.block, p.step)
     cols = _ref_grid(w, p.block, p.step)
-    r = p.search
-    offsets = np.asarray(
-        [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)], np.int32
+    r, ss = p.search, p.search_step
+    d1 = (ss * np.arange(-(r // ss), r // ss + 1)).astype(np.int32)
+    offsets = np.asarray([(dy, dx) for dy in d1 for dx in d1], np.int32)
+    # Grid-aligned search (see BM3DParams.search_step): members land on the
+    # reference lattice, enabling the scatter-free dense aggregation.
+    dense_agg = (
+        ss > 1
+        and ss % p.step == 0
+        and (h - p.block) % p.step == 0
+        and (w - p.block) % p.step == 0
+        and row_valid_bounds is None
     )
     d2_np = dct_matrix(p.block)
     d2d_np = np.kron(d2_np, d2_np)  # 2-D DCT on row-major-flattened patches
@@ -350,7 +439,12 @@ def bm3d_denoise_batch(
     n_kept = jnp.maximum(jnp.sum(keep, axis=-1), 1).astype(jnp.float32)
     est = _itransform_3d(coeffs_ht, t3_ht).reshape(*groups.shape[:3], -1, bb)
     wgt = ref_w / (sig_g * sig_g * n_kept + 1e-12)
-    num, den = _aggregate(est, wgt, py, px, p.block, h, w, kaiser)
+    if dense_agg:
+        num, den = _aggregate_dense(
+            est, wgt, top_idx, offsets, p.block, p.step, h, w, kaiser
+        )
+    else:
+        num, den = _aggregate(est, wgt, py, px, p.block, h, w, kaiser)
     basic = num / jnp.maximum(den, 1e-12)
 
     if stages == 1:
@@ -370,7 +464,12 @@ def bm3d_denoise_batch(
     wien = c_basic**2 / (c_basic**2 + sig_c * sig_c + 1e-12)
     est2 = _itransform_3d(wien * c_noisy, t3_w).reshape(*g_basic.shape[:3], -1, bb)
     wgt2 = ref_w / (sig_g * sig_g * jnp.sum(wien**2, axis=-1) + 1e-12)
-    num2, den2 = _aggregate(est2, wgt2, py2, px2, p.block, h, w, kaiser)
+    if dense_agg:
+        num2, den2 = _aggregate_dense(
+            est2, wgt2, top_idx2, offsets, p.block, p.step, h, w, kaiser
+        )
+    else:
+        num2, den2 = _aggregate(est2, wgt2, py2, px2, p.block, h, w, kaiser)
     return num2 / jnp.maximum(den2, 1e-12)
 
 

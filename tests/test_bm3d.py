@@ -174,6 +174,39 @@ class TestMatchingCostKnobs:
                                       params=BM3DParams(search=6, topk="approx")))
         np.testing.assert_allclose(got, ref, atol=1e-3)
 
+    @pytest.mark.parametrize("stride", [4, 8])
+    def test_grid_aligned_dense_aggregation_matches_scatter(self, rng, stride):
+        """search_step aligned to the reference-grid step routes aggregation
+        through the scatter-free dense path (_aggregate_dense); it must match
+        the scatter path bit-for-bit up to fp reassociation. Passing
+        row_valid_bounds=(0, h) is semantically a no-op (all rows valid) but
+        disables the dense path, giving the scatter reference on identical
+        strided offsets."""
+        from pnp_svrg_tpu.denoisers.bm3d import BM3DParams, bm3d_denoise_batch
+
+        clean, noisy = self._noisy(rng)
+        x = jnp.stack([jnp.asarray(noisy), jnp.asarray(noisy).T])
+        p = BM3DParams(search=8, search_step=stride)
+        dense = np.asarray(bm3d_denoise_batch(x, 0.1, params=p))
+        scatter = np.asarray(
+            bm3d_denoise_batch(x, 0.1, params=p, row_valid_bounds=(0, x.shape[1]))
+        )
+        np.testing.assert_allclose(dense, scatter, atol=2e-5)
+        # and it still clearly denoises
+        mse_noisy = float(np.mean((noisy - clean) ** 2))
+        mse_got = float(np.mean((dense[0] - clean) ** 2))
+        assert mse_got < 0.5 * mse_noisy
+
+    def test_search_step_offsets_include_zero(self):
+        """The strided offset set must contain the self-match (0, 0) even
+        when search is not a multiple of search_step."""
+        import numpy as _np
+
+        for r, ss in [(8, 4), (7, 4), (8, 3), (5, 2)]:
+            d1 = (ss * _np.arange(-(r // ss), r // ss + 1))
+            assert 0 in d1.tolist()
+            assert all(abs(v) <= r for v in d1)
+
     def test_bf16_matching_quality_preserved(self, rng):
         """bf16 distances may flip near-ties; the denoised output must stay
         close and the denoising quality (MSE vs clean) equivalent."""
