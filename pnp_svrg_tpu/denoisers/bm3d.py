@@ -73,6 +73,13 @@ class BM3DParams:
     # than the iterative exact k-argmin at every bench config (S<=625,
     # K=16; data/bm3d_knobs_v5e.json) — PartialReduce only pays off at
     # much larger S/k ratios; kept for that regime.
+    matcher: str = "xla"  # Block-matching engine: "xla" = chunked shift-space
+    # distances + iterative k-argmin (HBM-streaming); "pallas" = the fused
+    # VMEM-resident kernel (ops/pallas/bm3d_match.py) — identical selection
+    # semantics (exact top-K, ascending, first-index ties; measured 100%
+    # set agreement, order flips only at fp near-ties). "pallas_interpret"
+    # runs the same kernel in interpreter mode (CPU tests). Measured head-
+    # to-head in data/bm3d_pallas_v5e.json; "auto" = pallas on TPU backends.
     search_step: int = 1  # Candidate-offset stride: offsets are multiples of
     # search_step within the +-search window (1 = the canonical exhaustive
     # search). Setting it to a multiple of ``step`` is the TPU-native "grid-
@@ -425,13 +432,36 @@ def bm3d_denoise_batch(
     else:
         ref_w = 1.0
 
+    # Matching engine selection: the Pallas kernel covers the standard
+    # (unbounded) path; row-sharded bounds keep the XLA matcher.
+    use_pallas_match = row_valid_bounds is None and (
+        p.matcher in ("pallas", "pallas_interpret")
+        or (p.matcher == "auto" and jax.default_backend() == "tpu")
+    )
+
+    def match(imgs, group_k):
+        if use_pallas_match:
+            from pnp_svrg_tpu.ops.pallas.bm3d_match import bm3d_match_pallas
+
+            return bm3d_match_pallas(
+                imgs,
+                tuple(rows.tolist()),
+                tuple(cols.tolist()),
+                tuple(map(tuple, offsets.tolist())),
+                p.block,
+                group_k,
+                match_dtype=p.match_dtype,
+                interpret=p.matcher == "pallas_interpret",
+            )
+        dists = _match_distances(
+            imgs, rows, cols, offsets, p.block,
+            row_valid_bounds=row_valid_bounds, match_dtype=p.match_dtype,
+        )
+        return _top_k_offsets(dists, group_k, p.topk)
+
     # ---- Stage 1: hard thresholding --------------------------------------
     t3_ht = jnp.asarray(np.kron(hadamard_matrix(p.group_ht), d2d_np))
-    dists = _match_distances(
-        x, rows, cols, offsets, p.block, row_valid_bounds=row_valid_bounds,
-        match_dtype=p.match_dtype,
-    )
-    top_idx = _top_k_offsets(dists, p.group_ht, p.topk)
+    top_idx = match(x, p.group_ht)
     groups, py, px = _gather_groups(x, rows, cols, offsets, top_idx, p.block)
     coeffs = _transform_3d(groups.reshape(*groups.shape[:3], -1), t3_ht)
     keep = jnp.abs(coeffs) > p.lam * sig_c
@@ -452,11 +482,7 @@ def bm3d_denoise_batch(
 
     # ---- Stage 2: Wiener filtering with the basic estimate as pilot ------
     t3_w = jnp.asarray(np.kron(hadamard_matrix(p.group_wie), d2d_np))
-    dists2 = _match_distances(
-        basic, rows, cols, offsets, p.block, row_valid_bounds=row_valid_bounds,
-        match_dtype=p.match_dtype,
-    )
-    top_idx2 = _top_k_offsets(dists2, p.group_wie, p.topk)
+    top_idx2 = match(basic, p.group_wie)
     g_basic, py2, px2 = _gather_groups(basic, rows, cols, offsets, top_idx2, p.block)
     g_noisy, _, _ = _gather_groups(x, rows, cols, offsets, top_idx2, p.block)
     c_basic = _transform_3d(g_basic.reshape(*g_basic.shape[:3], -1), t3_w)

@@ -197,6 +197,51 @@ class TestMatchingCostKnobs:
         mse_got = float(np.mean((dense[0] - clean) ** 2))
         assert mse_got < 0.5 * mse_noisy
 
+    def test_pallas_matcher_selects_same_groups(self, rng):
+        """The fused Pallas matcher (interpret mode on CPU) must select the
+        identical candidate SET as the XLA matcher for every reference block
+        (order may flip at fp near-ties) and the end-to-end denoise must
+        match closely."""
+        from pnp_svrg_tpu.denoisers.bm3d import (
+            BM3DParams, bm3d_denoise_batch, _match_distances, _top_k_offsets,
+            _ref_grid,
+        )
+        from pnp_svrg_tpu.ops.pallas.bm3d_match import bm3d_match_pallas
+
+        clean, noisy = self._noisy(rng)
+        x = jnp.stack([jnp.asarray(noisy), jnp.asarray(noisy).T])
+        h = w = x.shape[1]
+        block, k, r = 8, 16, 6
+        rows = _ref_grid(h, block, 4)
+        cols = _ref_grid(w, block, 4)
+        offsets = np.asarray(
+            [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)],
+            np.int32,
+        )
+        ti_xla = np.asarray(
+            _top_k_offsets(_match_distances(x, rows, cols, offsets, block), k)
+        )
+        ti_pal = np.asarray(bm3d_match_pallas(
+            x, tuple(rows.tolist()), tuple(cols.tolist()),
+            tuple(map(tuple, offsets.tolist())), block, k, interpret=True,
+        ))
+        set_agree = np.mean([
+            len(set(a).intersection(b)) / k
+            for a, b in zip(ti_xla.reshape(-1, k), ti_pal.reshape(-1, k))
+        ])
+        assert set_agree > 0.999, set_agree
+
+        ref = np.asarray(bm3d_denoise_batch(
+            x, 0.1, params=BM3DParams(search=r)
+        ))
+        got = np.asarray(bm3d_denoise_batch(
+            x, 0.1, params=BM3DParams(search=r, matcher="pallas_interpret")
+        ))
+        assert float(np.abs(got - ref).mean()) < 1e-3
+        mse_ref = float(np.mean((ref[0] - clean) ** 2))
+        mse_got = float(np.mean((got[0] - clean) ** 2))
+        assert mse_got < mse_ref * 1.05
+
     def test_search_step_offsets_include_zero(self):
         """The strided offset set must contain the self-match (0, 0) even
         when search is not a multiple of search_step."""
