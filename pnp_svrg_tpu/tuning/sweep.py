@@ -20,9 +20,10 @@ from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pnp_svrg_tpu.algorithms import run_pnp
-from pnp_svrg_tpu.tuning.tpe import fmin, Uniform, LogUniform, QUniform
+from pnp_svrg_tpu.tuning.tpe import fmin, TPEState, Uniform, LogUniform, QUniform
 
 
 @dataclasses.dataclass
@@ -172,6 +173,161 @@ def make_batched_cell_objective(
         return results
 
     return batch_objective
+
+
+def _write_csv(results: Sequence["SweepCell"], csv_path) -> None:
+    path = Path(csv_path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(
+            ["problem", "denoiser", "algorithm", "ratio", "snr", "image",
+             "best_loss", "best_params"]
+        )
+        for r in results:
+            writer.writerow(
+                [r.problem_name, r.denoiser_name, r.algo, r.ratio, r.snr,
+                 r.image, r.best_loss, r.best_params]
+            )
+
+
+def sweep_grid_lockstep(
+    cells: Sequence[dict],
+    max_evals: int = 20,
+    n_iters: int = 60,
+    cand_per_round: int = 3,
+    max_lanes: int = 48,
+    csv_path: str | Path | None = None,
+    verbose: bool = True,
+) -> list[SweepCell]:
+    """Run MANY per-cell TPE searches in lockstep, batching a round of
+    candidates from every cell into shared compiled programs.
+
+    The reference fans its per-image searches over a ``multiprocessing.Pool``
+    (``script_diff_sampratio_set12.py:146-150``); the TPU-native replacement
+    is lane parallelism: all cells that share (problem family, algorithm,
+    denoiser) — e.g. the 12 Set12 images x 3 ratios of one grid cell class —
+    propose ``cand_per_round`` candidates each per round, and the whole round
+    runs as ceil(lanes / max_lanes) batched ``run_pnp`` invocations.
+
+    jit-static hyperparameters (mini_batch_size / t2 / hist_size) must agree
+    across a batch, so each round designates a rotating LEADER cell whose
+    TPE proposal fixes the statics for everyone that round (cells still
+    explore continuous dimensions independently; statics are explored across
+    rounds through the rotating leadership). Search-space statics should be
+    coarsely quantized so the compile universe stays small.
+
+    Cell dicts need the same keys as :func:`sweep_grid`. Cells are grouped by
+    (problem_name, algo, denoiser_name); problems in one group must have
+    identical pytree shapes (same image size / measurement count).
+    """
+    from pnp_svrg_tpu.core.batched import stack_problems
+
+    groups: dict[tuple, list[dict]] = {}
+    for cell in cells:
+        key = (cell["problem_name"], cell["algo"], cell["denoiser_name"],
+               cell.get("ratio", 0.0))
+        groups.setdefault(key, []).append(cell)
+
+    results: list[SweepCell] = []
+    for (prob_name, algo, den_name, _ratio), members in groups.items():
+        space = members[0].get("space") or default_space(
+            algo, members[0]["problem"].m
+        )
+        static_keys = tuple(
+            k for k in ("mini_batch_size", "t2", "hist_size") if k in space
+        )
+        states = [
+            TPEState(space, seed=1000 * i + int(members[i].get("seed", 0)),
+                     shared_keys=static_keys, n_startup=max(2, max_evals // 4))
+            for i in range(len(members))
+        ]
+        init_psnrs = [
+            float(c["problem"].psnr(c["problem"].x_init)) for c in members
+        ]
+        rounds = -(-max_evals // cand_per_round)
+        for rnd in range(rounds):
+            take = min(cand_per_round, max_evals - len(states[0].trials))
+            if take <= 0:
+                break
+            leader_idx = rnd % len(states)
+            lead_params = states[leader_idx].ask(take)
+            forced = {k: lead_params[0][k] for k in static_keys}
+            proposals: list[tuple[int, dict]] = []
+            for ci, st in enumerate(states):
+                if ci == leader_idx:
+                    proposals += [(ci, p) for p in lead_params]
+                else:
+                    proposals += [(ci, p) for p in st.ask(take, forced=forced)]
+            # Evaluate in chunks of <= max_lanes lanes (pad by repeating).
+            for start in range(0, len(proposals), max_lanes):
+                chunk = proposals[start : start + max_lanes]
+                n_real = len(chunk)
+                while len(chunk) < min(max_lanes, len(proposals)):
+                    chunk.append(chunk[-1])
+                probs = [members[ci]["problem"] for ci, _ in chunk]
+                batched = stack_problems(probs)
+                eta = jnp.asarray([p["eta"] for _, p in chunk], jnp.float32)
+                dstr = jnp.asarray(
+                    [p.get("dstrength", 1.0) for _, p in chunk], jnp.float32
+                )
+                den = members[0]["denoiser_factory"](dstr)
+                kwargs: dict[str, Any] = {
+                    "eta": eta, "key": jax.random.PRNGKey(rnd),
+                }
+                if algo in ("sgd", "saga"):
+                    kwargs.update(n_iters=n_iters,
+                                  mini_batch_size=int(forced["mini_batch_size"]))
+                    if algo == "saga":
+                        kwargs["hist_size"] = int(forced["hist_size"])
+                elif algo in ("svrg", "sarah"):
+                    t2 = int(forced["t2"])
+                    kwargs.update(
+                        n_outer=max(1, n_iters // (t2 + 1)), t2=t2,
+                        mini_batch_size=int(forced["mini_batch_size"]),
+                    )
+                else:
+                    kwargs["n_iters"] = n_iters
+                out = run_pnp(algo, batched, den, diverge_check=True, **kwargs)
+                finals = np.asarray(out["final_psnr"], float)
+                finals = np.where(np.isfinite(finals), finals, -100.0)
+                for (ci, p), f in zip(chunk[:n_real], finals[:n_real]):
+                    states[ci].tell(
+                        p,
+                        {"loss": init_psnrs[ci] - float(f),
+                         "final_psnr": float(f)},
+                    )
+            if verbose:
+                done = len(states[0].trials)
+                best = min(st.best.loss for st in states)
+                print(
+                    f"[lockstep {prob_name}/{algo}/{den_name}] round "
+                    f"{rnd + 1}/{rounds}: {done} evals/cell, best loss "
+                    f"{best:.2f}",
+                    flush=True,
+                )
+        for cell, st in zip(members, states):
+            rec = SweepCell(
+                problem_name=prob_name,
+                algo=algo,
+                denoiser_name=den_name,
+                image=str(cell.get("image", "")),
+                ratio=float(cell.get("ratio", 0.0)),
+                snr=float(cell.get("snr", 0.0)),
+                best_loss=st.best.loss,
+                best_params=dict(st.best.params),
+            )
+            results.append(rec)
+            if verbose:
+                print(
+                    f"[lockstep] {rec.problem_name}/{rec.algo}/"
+                    f"{rec.denoiser_name}/{rec.image} ratio={rec.ratio}: "
+                    f"best loss {rec.best_loss:.2f} params {rec.best_params}",
+                    flush=True,
+                )
+        if csv_path is not None:
+            _write_csv(results, csv_path)  # incremental checkpoint per group
+    return results
 
 
 def sweep_grid(

@@ -127,6 +127,111 @@ def _parzen_logpdf(u: float, centers: np.ndarray, bw: float) -> float:
     )
 
 
+class TPEState:
+    """Incremental (ask/tell) TPE search over one space.
+
+    ``ask(take)`` proposes candidates, ``tell(params, result)`` records an
+    observation. :func:`fmin` is the closed-loop wrapper; the lockstep sweep
+    driver (``tuning.sweep.sweep_grid_lockstep``) interleaves many states so
+    one compiled TPU program evaluates a round of candidates from EVERY
+    Set12 cell at once.
+    """
+
+    def __init__(self, space, seed=0, n_startup=10, gamma=0.25,
+                 n_candidates=24, shared_keys=()):
+        self.space = space
+        self.rng = np.random.default_rng(seed)
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.shared_keys = tuple(shared_keys)
+        self.trials = Trials()
+        self.continuous = {
+            k: d for k, d in space.items()
+            if isinstance(d, (Uniform, LogUniform, QUniform))
+        }
+        self.choices = {k: d for k, d in space.items() if isinstance(d, Choice)}
+
+    def tell(self, params: dict, out) -> None:
+        loss = out["loss"] if isinstance(out, dict) else float(out)
+        extra = out if isinstance(out, dict) else {}
+        self.trials.append(Trial(params=params, loss=float(loss), extra=extra))
+
+    def ask(self, take: int = 1, forced: dict | None = None) -> list[dict]:
+        """Joint TPE proposal; returns the ``take`` best-scoring candidates.
+
+        Candidates are whole configurations: each dimension is drawn from its
+        good-set Parzen density and the candidate's score is the *product*
+        density ratio l(x)/g(x) over all dimensions (hyperopt's factorized
+        joint), so correlated optima (e.g. eta x dstrength) are ranked on
+        full configurations rather than assembled per-parameter.
+
+        ``forced`` pins specific parameters to given values (the lockstep
+        driver uses it to share jit-static values across cells in a round).
+        """
+        rng = self.rng
+        forced = forced or {}
+        trials, space = self.trials, self.space
+        if len(trials) < self.n_startup or not self.continuous:
+            base = {k: d.sample(rng) for k, d in space.items()}
+            out = [
+                {
+                    k: (base[k] if k in self.shared_keys else d.sample(rng))
+                    for k, d in space.items()
+                }
+                for _ in range(take)
+            ]
+            for p in out:
+                p.update(forced)
+            return out
+        obs = sorted(trials.trials, key=lambda t: t.loss)
+        n_good = max(1, int(math.ceil(self.gamma * len(obs))))
+        good, bad = obs[:n_good], obs[n_good:]
+        cand_u: dict[str, np.ndarray] = {}
+        joint_scores = np.zeros(self.n_candidates)
+        for k, d in self.continuous.items():
+            if k in forced:
+                continue
+            gu = np.asarray([d.to_unit(t.params[k]) for t in good])
+            bu = np.asarray([d.to_unit(t.params[k]) for t in bad])
+            bw = max(1.0 / max(len(gu), 1) ** 0.5 * 0.5, 0.05)
+            u = np.clip(
+                rng.normal(gu[rng.integers(len(gu), size=self.n_candidates)],
+                           bw),
+                0.0,
+                1.0,
+            )
+            cand_u[k] = u
+            joint_scores += np.asarray(
+                [_parzen_logpdf(ui, gu, bw) - _parzen_logpdf(ui, bu, bw)
+                 for ui in u]
+            )
+        order = np.argsort(-joint_scores)[:take]
+        shared_choice = {
+            k: d.sample(rng) for k, d in self.choices.items()
+            if k in self.shared_keys and k not in forced
+        }
+        out = []
+        for i in order:
+            p = {}
+            for k, d in self.continuous.items():
+                if k in forced:
+                    p[k] = forced[k]
+                    continue
+                # Shared (jit-static) keys take the round winner's value so
+                # the batch compiles to one program.
+                src = order[0] if k in self.shared_keys else i
+                p[k] = d.finalize(d.from_unit(float(cand_u[k][src])))
+            for k, d in self.choices.items():
+                p[k] = forced.get(k, shared_choice.get(k, d.sample(rng)))
+            out.append(p)
+        return out
+
+    @property
+    def best(self) -> Trial:
+        return self.trials.best
+
+
 def fmin(
     objective: Callable[[dict], float | dict] | None,
     space: dict[str, Any],
@@ -157,81 +262,21 @@ def fmin(
     (mini_batch_size / t2 / hist_size) so a batched round compiles to a
     single program instead of one per candidate.
     """
-    rng = np.random.default_rng(seed)
-    if trials is None:
-        trials = Trials()
     if objective is None and batch_objective is None:
         raise ValueError("provide objective or batch_objective")
-
-    continuous = {
-        k: d for k, d in space.items() if isinstance(d, (Uniform, LogUniform, QUniform))
-    }
-    choices = {k: d for k, d in space.items() if isinstance(d, Choice)}
-
-    def record(params, out):
-        loss = out["loss"] if isinstance(out, dict) else float(out)
-        extra = out if isinstance(out, dict) else {}
-        trials.append(Trial(params=params, loss=float(loss), extra=extra))
-
-    def propose_one(take: int = 1) -> list[dict]:
-        """Joint TPE proposal; returns the ``take`` best-scoring candidates.
-
-        Candidates are whole configurations: each dimension is drawn from its
-        good-set Parzen density and the candidate's score is the *product*
-        density ratio l(x)/g(x) over all dimensions (hyperopt's factorized
-        joint), so correlated optima (e.g. eta x dstrength) are ranked on
-        full configurations rather than assembled per-parameter.
-        """
-        if len(trials) < n_startup or not continuous:
-            base = {k: d.sample(rng) for k, d in space.items()}
-            return [
-                {
-                    k: (base[k] if k in shared_keys else d.sample(rng))
-                    for k, d in space.items()
-                }
-                for _ in range(take)
-            ]
-        obs = sorted(trials.trials, key=lambda t: t.loss)
-        n_good = max(1, int(math.ceil(gamma * len(obs))))
-        good, bad = obs[:n_good], obs[n_good:]
-        cand_u: dict[str, np.ndarray] = {}
-        joint_scores = np.zeros(n_candidates)
-        for k, d in continuous.items():
-            gu = np.asarray([d.to_unit(t.params[k]) for t in good])
-            bu = np.asarray([d.to_unit(t.params[k]) for t in bad])
-            bw = max(1.0 / max(len(gu), 1) ** 0.5 * 0.5, 0.05)
-            u = np.clip(
-                rng.normal(gu[rng.integers(len(gu), size=n_candidates)], bw),
-                0.0,
-                1.0,
-            )
-            cand_u[k] = u
-            joint_scores += np.asarray(
-                [_parzen_logpdf(ui, gu, bw) - _parzen_logpdf(ui, bu, bw) for ui in u]
-            )
-        order = np.argsort(-joint_scores)[:take]
-        out = []
-        for rank, i in enumerate(order):
-            p = {}
-            for k, d in continuous.items():
-                # Shared (jit-static) keys take the round winner's value so
-                # the batch compiles to one program.
-                src = order[0] if k in shared_keys else i
-                p[k] = d.finalize(d.from_unit(float(cand_u[k][src])))
-            for k, d in choices.items():
-                p[k] = d.sample(rng)
-            out.append(p)
-        return out
-
-    while len(trials) < max_evals:
-        take = min(batch_size, max_evals - len(trials))
-        batch = propose_one(take)
+    state = TPEState(space, seed=seed, n_startup=n_startup, gamma=gamma,
+                     n_candidates=n_candidates, shared_keys=shared_keys)
+    if trials is not None:
+        state.trials = trials
+    while len(state.trials) < max_evals:
+        take = min(batch_size, max_evals - len(state.trials))
+        batch = state.ask(take)
         if batch_objective is not None:
             results = batch_objective(batch)
             for p, r in zip(batch, results):
-                record(p, r)
+                state.tell(p, r)
         else:
             for p in batch:
-                record(p, objective(p))
+                state.tell(p, objective(p))
 
-    return dict(trials.best.params), trials
+    return dict(state.trials.best.params), state.trials

