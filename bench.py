@@ -469,12 +469,15 @@ def main():
             for _ in range(sa_reps)
         ]
         prs = stack_problems(prs_list) if sa_reps > 1 else prs_list[0]
-        realsn = DnCNNDenoiser.from_pretrained("RealSN_DnCNN", sigma=5)
+        realsn = DnCNNDenoiser.from_pretrained(
+            "RealSN_DnCNN", sigma=int(sarah_tuned.get("realsn_sigma", 5))
+        )
         sa_out = pnp_sarah(
             prs, realsn, eta=sa_cfg["eta"], n_outer=sa_outer,
             t2=int(sa_cfg["t2"]),
             mini_batch_size=int(sa_cfg["mini_batch_size"]),
             lr_decay=sa_cfg["lr_decay"], key=jax.random.PRNGKey(5),
+            variant=str(sarah_tuned.get("variant", "sarah")),
         )
         sa_psnrs = np.atleast_1d(np.asarray(sa_out["final_psnr"]))
         if sa_reps > 1:

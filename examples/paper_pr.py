@@ -16,9 +16,13 @@ The default ``auto`` keeps the notebook's structure but re-tunes eta /
 lr_decay / budgets for this implementation — every run then beats the
 reference's recorded PSNR (e.g. gd+bm3d 28.9 vs 25.9 dB) while still
 finishing far inside the reference's 30/60 s wall budgets on one chip.
-The reference's sgd+mmo cell diverges under its published eta=0.2 here
-(its recorded Delta-PSNR bookkeeping is internally inconsistent for that
-cell); auto uses eta=0.02, which converges to 23.9 dB.
+The reference's sgd+mmo cell diverges under its published eta=0.2 here —
+this implementation's exact gradients are normalized differently, so the
+notebook's eta does not transfer; auto uses eta=0.02, which converges to
+23.9 dB. (The notebook's own 313-iteration log does reach its recorded
+20.5 dB — verified in ``data/pr_sgd_mmo_ref_inconsistency.json``, which
+also retracts an earlier "internally inconsistent bookkeeping" claim that
+was based on a truncated read of that log.)
 """
 
 import argparse

@@ -18,6 +18,7 @@ JAX_PROCESS_ID env vars set (``init_distributed`` picks them up) and a
 
 import argparse
 import json
+import sys
 import time
 
 
@@ -32,6 +33,9 @@ def main(argv=None):
     parser.add_argument("--eta", type=float, default=1500.0)
     parser.add_argument("--mb", type=int, default=1000)
     parser.add_argument("--search", type=int, default=6)
+    parser.add_argument("--out", default=None,
+                        help="optional JSON artifact path (adds metadata + "
+                             "weak-scaling efficiency vs the 1-device row)")
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
@@ -52,6 +56,7 @@ def main(argv=None):
     den = BM3DDenoiser(sigma_modifier=1.0, params=BM3DParams(search=args.search))
     paths = set12_paths()
     iters = args.n_outer * (args.t2 + 1)
+    rows = []
 
     for d in args.devices:
         if d > len(all_devices):
@@ -90,19 +95,39 @@ def main(argv=None):
         out = run()
         psnr = np.asarray(out["final_psnr"])  # host transfer = true sync
         dt = time.time() - t0
-        print(
-            json.dumps(
-                {
-                    "devices": d,
-                    "batch": bsz,
-                    "images_per_sec": round(bsz * iters / dt / iters, 3),
-                    "image_iters_per_sec": round(bsz * iters / dt, 2),
-                    "wall_s": round(dt, 3),
-                    "mean_psnr": round(float(psnr.mean()), 2),
-                }
+        row = {
+            "devices": d,
+            "batch": bsz,
+            "images_per_sec": round(bsz * iters / dt / iters, 3),
+            "image_iters_per_sec": round(bsz * iters / dt, 2),
+            "wall_s": round(dt, 3),
+            "mean_psnr": round(float(psnr.mean()), 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.out and rows:
+        base = rows[0]["image_iters_per_sec"] / rows[0]["devices"]
+        for row in rows:
+            # weak-scaling efficiency: throughput per device vs the smallest
+            # mesh's per-device throughput (batch grows with the mesh)
+            row["weak_scaling_efficiency"] = round(
+                row["image_iters_per_sec"] / row["devices"] / base, 3
+            )
+        record = {
+            "program": (
+                f"run_batch svrg+BM3D(search={args.search}), "
+                f"{args.images_per_device} x {args.size}^2 CSMRI images per "
+                f"device, {args.n_outer}x({args.t2}+1) iters, mesh (d, 1) "
+                f"batch axis"
             ),
-            flush=True,
-        )
+            "backend": jax.default_backend(),
+            "device_kind": str(all_devices[0].device_kind),
+            "rows": rows,
+        }
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -37,8 +37,16 @@ def main(argv=None):
     parser.add_argument("--denoiser", default="bm3d",
                         choices=["bm3d", "realsn"],
                         help="realsn = RealSN-DnCNN (framework-trained "
-                             "sigma=5 checkpoint); ignores sigma_modifier, "
+                             "checkpoint); ignores sigma_modifier, "
                              "so --mods collapses to [1.0]")
+    parser.add_argument("--realsn-sigma", type=int, default=5,
+                        choices=[5, 15, 40],
+                        help="which framework-trained RealSN-DnCNN "
+                             "checkpoint drives the realsn lanes")
+    parser.add_argument("--sarah-variant", default="sarah",
+                        choices=["sarah", "faithful"],
+                        help="canonical SARAH recursion vs the reference v1 "
+                             "frozen-anchor behavior (loops.py pnp_sarah)")
     parser.add_argument("--chunk", type=int, default=4,
                         help="LANES per compiled batch; each lane carries "
                              "its own (M, N) matrix (4 lanes at 8192x16384 "
@@ -79,7 +87,12 @@ def main(argv=None):
     h = args.size
     img = jnp.asarray(load_image(resolve_data_path("Set12/04.png"), h, h))
 
-    loop = {"svrg": pnp_svrg, "sarah": pnp_sarah}[args.algo]
+    if args.algo == "sarah":
+        import functools
+
+        loop = functools.partial(pnp_sarah, variant=args.sarah_variant)
+    else:
+        loop = pnp_svrg
     if args.denoiser == "realsn":
         args.mods = [1.0]  # RealSN-DnCNN uses its training sigma
     configs = list(itertools.product(args.etas, args.decays, args.mods))
@@ -104,7 +117,7 @@ def main(argv=None):
         dec = jnp.asarray([c[1] for c in chunk], jnp.float32)
         mod = jnp.asarray([c[2] for c in chunk], jnp.float32)
         if args.denoiser == "realsn":
-            den = DnCNNDenoiser.from_pretrained("RealSN_DnCNN", sigma=5)
+            den = DnCNNDenoiser.from_pretrained("RealSN_DnCNN", sigma=args.realsn_sigma)
         else:
             den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(search=8))
         out = loop(
@@ -159,7 +172,7 @@ def main(argv=None):
                 jax.random.PRNGKey(4), img, num_meas=args.num_meas, snr=20
             )
             if args.denoiser == "realsn":
-                den1 = DnCNNDenoiser.from_pretrained("RealSN_DnCNN", sigma=5)
+                den1 = DnCNNDenoiser.from_pretrained("RealSN_DnCNN", sigma=args.realsn_sigma)
             else:
                 den1 = BM3DDenoiser(
                     sigma_modifier=w["sigma_modifier"],
@@ -188,6 +201,12 @@ def main(argv=None):
     }
     record = {"psnr_db": best[0], "replicas": R, **best[1],
               "provenance": provenance}
+    if args.denoiser == "realsn":
+        record["realsn_sigma"] = args.realsn_sigma
+        provenance["realsn_sigma"] = args.realsn_sigma
+    if args.algo == "sarah":
+        record["variant"] = args.sarah_variant
+        provenance["sarah_variant"] = args.sarah_variant
     print(json.dumps(record))
     if args.out:
         with open(args.out, "w") as f:
