@@ -36,6 +36,13 @@ def main(argv=None):
     parser.add_argument("--out", default=None,
                         help="optional JSON artifact path (adds metadata + "
                              "weak-scaling efficiency vs the 1-device row)")
+    parser.add_argument("--overhead-baseline", action="store_true",
+                        help="also time each total batch UNSHARDED on one "
+                             "device and report t_sharded/t_unsharded. On a "
+                             "virtual CPU mesh (shared physical cores) this "
+                             "isolates the SPMD partitioning/collective "
+                             "overhead — raw weak-scaling efficiency there "
+                             "measures core sharing, not the mesh.")
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
@@ -76,25 +83,28 @@ def main(argv=None):
         ]
         batched = stack_problems(problems)
 
-        def run():
+        def run(use_mesh):
             return run_batch(
                 "svrg",
                 batched,
                 den,
                 key=jax.random.PRNGKey(1),
-                mesh=mesh,
+                mesh=use_mesh,
                 eta=args.eta,
                 n_outer=args.n_outer,
                 t2=args.t2,
                 mini_batch_size=args.mb,
             )
 
-        out = run()
-        jax.block_until_ready(out["z"])  # compile + first run
-        t0 = time.time()
-        out = run()
-        psnr = np.asarray(out["final_psnr"])  # host transfer = true sync
-        dt = time.time() - t0
+        def timed(use_mesh):
+            out = run(use_mesh)
+            jax.block_until_ready(out["z"])  # compile + first run
+            t0 = time.time()
+            out = run(use_mesh)
+            psnr = np.asarray(out["final_psnr"])  # host transfer = true sync
+            return time.time() - t0, psnr
+
+        dt, psnr = timed(mesh)
         row = {
             "devices": d,
             "batch": bsz,
@@ -103,6 +113,10 @@ def main(argv=None):
             "wall_s": round(dt, 3),
             "mean_psnr": round(float(psnr.mean()), 2),
         }
+        if args.overhead_baseline:
+            dt0, _ = timed(None)  # same total batch, no mesh
+            row["unsharded_wall_s"] = round(dt0, 3)
+            row["sharding_overhead"] = round(dt / dt0, 3)
         rows.append(row)
         print(json.dumps(row), flush=True)
 

@@ -51,6 +51,13 @@ def main(argv=None):
     parser.add_argument("--max-lanes", type=int, default=48)
     parser.add_argument("--search", type=int, default=8,
                         help="BM3D search radius")
+    parser.add_argument("--mb-opts", type=int, nargs="+", default=None,
+                        help="absolute mini_batch_size Choice options "
+                             "(shared across ratios so the compile universe "
+                             "stays small; options > 0.8*m are dropped "
+                             "per-cell). Default: fractions of m.")
+    parser.add_argument("--t2-opts", type=int, nargs="+", default=[5, 10])
+    parser.add_argument("--hist-opts", type=int, nargs="+", default=[10, 20])
     parser.add_argument("--sequential", action="store_true",
                         help="per-cell sequential TPE (the pre-lockstep path)")
     parser.add_argument("--trial-batch", type=int, default=1,
@@ -115,7 +122,12 @@ def main(argv=None):
         # Statics are coarse Choices so the lockstep compile universe stays
         # small (the reference searches them continuously via hyperopt —
         # quniform over 1..100 — at the cost of a recompile-free torch loop).
-        mb_opts = sorted({max(50, int(f * m)) for f in (0.15, 0.3, 0.6)})
+        if args.mb_opts:
+            mb_opts = [v for v in args.mb_opts if v <= 0.8 * m] or [
+                min(args.mb_opts)
+            ]
+        else:
+            mb_opts = sorted({max(50, int(f * m)) for f in (0.15, 0.3, 0.6)})
         space = {
             "eta": eta_space[prob_name],
             "dstrength": Uniform(0.3, 2.0),
@@ -123,9 +135,9 @@ def main(argv=None):
         if algo in ("sgd", "svrg", "saga", "sarah"):
             space["mini_batch_size"] = Choice(mb_opts)
         if algo in ("svrg", "sarah"):
-            space["t2"] = Choice([5, 10])
+            space["t2"] = Choice(list(args.t2_opts))
         if algo == "saga":
-            space["hist_size"] = Choice([10, 20])
+            space["hist_size"] = Choice(list(args.hist_opts))
         return space
 
     cells = []

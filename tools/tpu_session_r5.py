@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Round-5 TPU measurement session: all chip work batched into ONE process
+(CLAUDE.md tunnel discipline — the first dispatch after a heavy process
+exits can stall 10-30 min, so phases share this process and the persistent
+compile cache; each phase is guarded so one failure doesn't sink the rest).
+
+Phases (each writes its own artifact as it lands):
+  1. BM3D Pallas-matcher / grid-aligned-search measurement
+     -> data/bm3d_pallas_v5e.json  (VERDICT r4 next #1)
+  2. PR+SARAH+RealSN hardening grid: checkpoint sigma x SARAH variant at 8
+     replica streams -> data/pr_sarah_realsn_tuned.json + full-grid record
+     data/pr_sarah_realsn_grid_v5e.json  (VERDICT r4 next #4)
+  3. CSMRI+NLM tuned-config edge extension (eta below / mod above the
+     committed winner's grid edges) -> data/csmri_nlm_tuned.json if better
+     (ADVICE r4 #4)
+  4. BASELINE configs[4]: the full Set12 CSMRI lockstep sweep (12 images x
+     5 algos x 3 denoisers x 3 ratios, TPE 20 evals/cell)
+     -> hyperparam-tuning/set12_csmri_sweep.csv  (VERDICT r4 next #2)
+  5. Deblur-SR + PR demonstration sweeps (factory parity at scale)
+     -> hyperparam-tuning/{deblursr,pr}_sweep.csv
+
+Run: timeout 14400 python tools/tpu_session_r5.py [--phases 1 2 3 4 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+T0 = time.time()
+
+
+def note(msg):
+    print(f"[session t={time.time() - T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def phase(n, fn):
+    note(f"--- phase {n} start ---")
+    try:
+        fn()
+        note(f"--- phase {n} OK ---")
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc()
+        note(f"--- phase {n} FAILED: {e} ---")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phases", type=int, nargs="+", default=[1, 2, 3, 4, 5])
+    ap.add_argument("--sweep-evals", type=int, default=20)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.chdir(repo)
+
+    def phase1():
+        from tools.measure_bm3d_pallas import main as m1
+
+        m1(["--outer", "16", "--out", "data/bm3d_pallas_v5e.json"])
+
+    def phase2():
+        from examples.tune_pr import main as tune_pr
+
+        results = []
+        for sigma in (5, 15, 40):
+            for variant in ("sarah", "faithful"):
+                out = f"/tmp/sarah_s{sigma}_{variant}.json"
+                note(f"SARAH grid: sigma={sigma} variant={variant}")
+                tune_pr([
+                    "--algo", "sarah", "--denoiser", "realsn",
+                    "--realsn-sigma", str(sigma), "--sarah-variant", variant,
+                    "--etas", "0.03", "0.05", "0.08",
+                    "--decays", "0.99", "1.0",
+                    "--outers", "30", "--t2", "8", "--mb", "800",
+                    "--chunk", "8", "--replicas", "8",
+                    "--out", out,
+                ])
+                with open(out) as f:
+                    rec = json.load(f)
+                rec["realsn_sigma"] = sigma
+                rec["variant"] = variant
+                results.append(rec)
+                note(f"sigma={sigma} {variant}: {rec['psnr_db']:.2f} dB "
+                     f"(eta={rec['eta']}, decay={rec['lr_decay']})")
+        best = max(results, key=lambda r: r["psnr_db"])
+        grid = {
+            "what": ("PR+SARAH+RealSN hardening grid: checkpoint sigma x "
+                     "SARAH variant, 8-replica means (VERDICT r4 next #4)"),
+            "grid": [
+                {k: r[k] for k in ("realsn_sigma", "variant", "psnr_db",
+                                   "eta", "lr_decay", "n_outer")}
+                for r in results
+            ],
+            "winner": best,
+        }
+        with open("data/pr_sarah_realsn_grid_v5e.json", "w") as f:
+            json.dump(grid, f, indent=1)
+        with open("data/pr_sarah_realsn_tuned.json", "w") as f:
+            json.dump(best, f, indent=1)
+        note(f"SARAH winner: sigma={best['realsn_sigma']} "
+             f"{best['variant']} {best['psnr_db']:.2f} dB")
+
+    def phase3():
+        from examples.tune_csmri_nlm import main as tune_nlm
+
+        tune_nlm([
+            "--etas", "3500", "5000", "7000",
+            "--mods", "1.2", "1.45", "1.7",
+            "--out", "/tmp/nlm_ext.json",
+        ])
+        with open("/tmp/nlm_ext.json") as f:
+            ext = json.load(f)
+        cur = {}
+        if os.path.exists("data/csmri_nlm_tuned.json"):
+            with open("data/csmri_nlm_tuned.json") as f:
+                cur = json.load(f)
+        note(f"NLM edge extension: ext {ext.get('psnr_db'):.2f} dB vs "
+             f"committed {cur.get('psnr_db', -1):.2f} dB")
+        if ext.get("psnr_db", -1) > cur.get("psnr_db", -1):
+            ext.setdefault("provenance", {})["edge_extension"] = (
+                "ADVICE r4 #4: grid extended one step past the previous "
+                "winner's edges (eta below 7000, mods above 1.2)"
+            )
+            with open("data/csmri_nlm_tuned.json", "w") as f:
+                json.dump(ext, f, indent=1)
+            note("updated data/csmri_nlm_tuned.json")
+        else:
+            cur.setdefault("provenance", {})["edge_extension"] = (
+                "ADVICE r4 #4: eta 3500/5000/7000 x mod 1.2/1.45/1.7 "
+                f"measured {ext.get('psnr_db'):.2f} dB <= committed winner; "
+                "the committed config is an interior optimum of the "
+                "extended box"
+            )
+            with open("data/csmri_nlm_tuned.json", "w") as f:
+                json.dump(cur, f, indent=1)
+            note("committed winner confirmed interior; provenance updated")
+
+    def phase4():
+        from examples.sweep_sampratio import main as sweep
+
+        sweep([
+            "--images", "12", "--ratios", "0.2", "0.5", "0.8",
+            "--algos", "gd", "sgd", "svrg", "sarah", "saga",
+            "--denoisers", "tv", "nlm", "bm3d",
+            "--max-evals", str(args.sweep_evals), "--n-iters", "60",
+            "--cand", "3", "--max-lanes", "48",
+            "--mb-opts", "1000", "2000", "4000",
+            "--t2-opts", "10", "--hist-opts", "10",
+            "--out", "hyperparam-tuning/set12_csmri_sweep.csv",
+        ])
+
+    def phase5():
+        from examples.sweep_sampratio import main as sweep
+
+        sweep([
+            "--problems", "deblur", "--images", "2", "--ratios", "0.5", "0.8",
+            "--algos", "svrg", "gd", "--denoisers", "tv", "bm3d",
+            "--max-evals", "8", "--n-iters", "40",
+            "--cand", "2", "--mb-opts", "2000", "--t2-opts", "10",
+            "--out", "hyperparam-tuning/deblursr_sweep.csv",
+        ])
+        sweep([
+            "--problems", "pr", "--images", "2", "--ratios", "0.5", "0.8",
+            "--algos", "svrg", "gd", "--denoisers", "tv", "bm3d",
+            "--max-evals", "8", "--n-iters", "40",
+            "--cand", "2", "--mb-opts", "800", "--t2-opts", "10",
+            "--search", "6",
+            "--out", "hyperparam-tuning/pr_sweep.csv",
+        ])
+
+    fns = {1: phase1, 2: phase2, 3: phase3, 4: phase4, 5: phase5}
+    for n in args.phases:
+        phase(n, fns[n])
+    note("session complete")
+
+
+if __name__ == "__main__":
+    main()
