@@ -278,6 +278,58 @@ def main():
         "flagship_ref_psnr_db": 22.8,
     }
 
+    # ---- Turbo lane: grid-aligned stride-2 search + Pallas matcher --------
+    # The fastest measured operating point that does NOT give up Set12-VD
+    # quality (data/bm3d_pallas_v5e.json flagship table: 966.6 vs 842.6
+    # it/s with VD mean 26.69 vs 26.50 dB). The full-search tuned etas sit
+    # at the stability edge under the slightly weaker stride-2 denoiser
+    # (the 13.png lane diverges), so this lane REQUIRES its own per-lane
+    # configs from examples/tune_set12.py --search-step 2 --matcher pallas
+    # --match-dtype bfloat16 (data/set12_csmri_turbo_tuned.json).
+    turbo_tuned = _load_json(os.path.join(DATA, "set12_csmri_turbo_tuned.json"))
+    if turbo_tuned and have_time("turbo"):
+        note("turbo lane: search_step=2 + Pallas matcher (compiling if cold)")
+        teta, tmod = _lane_params(turbo_tuned, lane_names, 4000.0, 1.0)
+
+        def run_turbo(key):
+            den_t = BM3DDenoiser(
+                sigma_modifier=tmod,
+                params=BM3DParams(search=8, search_step=2, matcher="pallas",
+                                  match_dtype="bfloat16"),
+            )
+            out_t = pnp_svrg(
+                batched, den_t, eta=teta, n_outer=n_outer, t2=t2,
+                mini_batch_size=mb, key=key,
+            )
+            return {k: out_t[k] for k in ("image", "final_psnr")}
+
+        out_t = run_turbo(jax.random.PRNGKey(1))
+        _sync(out_t)
+        t0 = time.time()
+        out_t = run_turbo(jax.random.PRNGKey(2))
+        _sync(out_t)
+        turbo_steady = time.time() - t0
+        tpsnrs = np.asarray(out_t["final_psnr"])
+        tssims = np.asarray(ssim_batch(batched.x, out_t["image"]))
+        record["turbo_iters_per_sec"] = round(image_iters / turbo_steady, 2)
+        record["turbo_set12_vd_mean_psnr_db"] = round(
+            float(tpsnrs[:n_set12].mean()), 2
+        )
+        record["turbo_set12_vd_mean_ssim"] = round(
+            float(tssims[:n_set12].mean()), 4
+        )
+        record["turbo_flagship_13png_psnr_db"] = round(float(tpsnrs[-1]), 2)
+        record["turbo_operating_point"] = (
+            "BM3D search=8 search_step=2 matcher=pallas match_dtype=bfloat16"
+        )
+        print(
+            f"bench turbo: {image_iters / turbo_steady:.0f} it/s "
+            f"(headline {its_per_sec:.0f}), Set12-VD mean "
+            f"{tpsnrs[:n_set12].mean():.2f} dB, flagship "
+            f"{tpsnrs[-1]:.2f} dB",
+            file=sys.stderr,
+        )
+
     # ---- Comparison lanes (each a separate XLA compile): BENCH_FULL=1 only -
     if full and have_time("f32_match"):
         note("f32-match comparison lane")

@@ -35,6 +35,14 @@ def main(argv=None):
     parser.add_argument("--mb", type=int, default=4000)
     parser.add_argument("--search", type=int, default=8,
                         help="BM3D search radius (8 = bench fast lane)")
+    parser.add_argument("--search-step", type=int, default=1,
+                        help="candidate-offset stride (2 with --matcher "
+                             "pallas = the measured turbo operating point, "
+                             "data/bm3d_pallas_v5e.json)")
+    parser.add_argument("--matcher", default="xla",
+                        choices=["xla", "pallas", "auto"])
+    parser.add_argument("--match-dtype", default="float32",
+                        choices=["float32", "bfloat16"])
     parser.add_argument("--etas", type=float, nargs="+",
                         default=[1500, 3000, 6000, 9000])
     parser.add_argument("--mods", type=float, nargs="+",
@@ -88,7 +96,10 @@ def main(argv=None):
     def run(eta, mod):
         den = BM3DDenoiser(
             sigma_modifier=jnp.asarray(mod, jnp.float32),
-            params=BM3DParams(search=args.search),
+            params=BM3DParams(
+                search=args.search, search_step=args.search_step,
+                matcher=args.matcher, match_dtype=args.match_dtype,
+            ),
         )
         out = pnp_svrg(
             batched,
@@ -147,6 +158,8 @@ def main(argv=None):
         "config": {
             "size": h, "n_outer": args.n_outer, "t2": args.t2,
             "mini_batch_size": args.mb, "search": args.search,
+            "search_step": args.search_step, "matcher": args.matcher,
+            "match_dtype": args.match_dtype,
             "keep_low_freq": args.keep_lowfreq,
         },
         "lanes": names,

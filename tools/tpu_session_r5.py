@@ -38,6 +38,17 @@ def note(msg):
           flush=True)
 
 
+def load_main(path):
+    """Import a script by file path (examples/ and tools/ are not packages)."""
+    import importlib.util
+
+    name = os.path.splitext(os.path.basename(path))[0]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main
+
+
 def phase(n, fn):
     note(f"--- phase {n} start ---")
     try:
@@ -61,13 +72,11 @@ def main():
     os.chdir(repo)
 
     def phase1():
-        from tools.measure_bm3d_pallas import main as m1
-
+        m1 = load_main("tools/measure_bm3d_pallas.py")
         m1(["--outer", "16", "--out", "data/bm3d_pallas_v5e.json"])
 
     def phase2():
-        from examples.tune_pr import main as tune_pr
-
+        tune_pr = load_main("examples/tune_pr.py")
         results = []
         for sigma in (5, 15, 40):
             for variant in ("sarah", "faithful"):
@@ -108,8 +117,7 @@ def main():
              f"{best['variant']} {best['psnr_db']:.2f} dB")
 
     def phase3():
-        from examples.tune_csmri_nlm import main as tune_nlm
-
+        tune_nlm = load_main("examples/tune_csmri_nlm.py")
         tune_nlm([
             "--etas", "3500", "5000", "7000",
             "--mods", "1.2", "1.45", "1.7",
@@ -143,8 +151,7 @@ def main():
             note("committed winner confirmed interior; provenance updated")
 
     def phase4():
-        from examples.sweep_sampratio import main as sweep
-
+        sweep = load_main("examples/sweep_sampratio.py")
         sweep([
             "--images", "12", "--ratios", "0.2", "0.5", "0.8",
             "--algos", "gd", "sgd", "svrg", "sarah", "saga",
@@ -157,8 +164,7 @@ def main():
         ])
 
     def phase5():
-        from examples.sweep_sampratio import main as sweep
-
+        sweep = load_main("examples/sweep_sampratio.py")
         sweep([
             "--problems", "deblur", "--images", "2", "--ratios", "0.5", "0.8",
             "--algos", "svrg", "gd", "--denoisers", "tv", "bm3d",
