@@ -36,6 +36,7 @@ class SweepCell:
     snr: float
     best_loss: float
     best_params: dict
+    best_psnr: float = float("nan")  # final PSNR of the best trial
 
 
 # Default search spaces per algorithm, mirroring the reference's hyperopt
@@ -182,12 +183,12 @@ def _write_csv(results: Sequence["SweepCell"], csv_path) -> None:
         writer = csv.writer(f)
         writer.writerow(
             ["problem", "denoiser", "algorithm", "ratio", "snr", "image",
-             "best_loss", "best_params"]
+             "best_loss", "best_psnr", "best_params"]
         )
         for r in results:
             writer.writerow(
                 [r.problem_name, r.denoiser_name, r.algo, r.ratio, r.snr,
-                 r.image, r.best_loss, r.best_params]
+                 r.image, r.best_loss, r.best_psnr, r.best_params]
             )
 
 
@@ -316,6 +317,7 @@ def sweep_grid_lockstep(
                 snr=float(cell.get("snr", 0.0)),
                 best_loss=st.best.loss,
                 best_params=dict(st.best.params),
+                best_psnr=float(st.best.extra.get("final_psnr", float("nan"))),
             )
             results.append(rec)
             if verbose:
@@ -386,6 +388,9 @@ def sweep_grid(
             snr=float(cell.get("snr", 0.0)),
             best_loss=trials.best.loss,
             best_params=dict(trials.best.params),
+            best_psnr=float(
+                trials.best.extra.get("final_psnr", float("nan"))
+            ),
         )
         results.append(rec)
         if verbose:
@@ -395,17 +400,5 @@ def sweep_grid(
                 f"best loss {rec.best_loss:.2f} params {rec.best_params}"
             )
     if csv_path is not None:
-        path = Path(csv_path)
-        path.parent.mkdir(parents=True, exist_ok=True)
-        with open(path, "w", newline="") as f:
-            writer = csv.writer(f)
-            writer.writerow(
-                ["problem", "denoiser", "algorithm", "ratio", "snr", "image",
-                 "best_loss", "best_params"]
-            )
-            for r in results:
-                writer.writerow(
-                    [r.problem_name, r.denoiser_name, r.algo, r.ratio, r.snr,
-                     r.image, r.best_loss, r.best_params]
-                )
+        _write_csv(results, csv_path)
     return results
