@@ -37,6 +37,11 @@ Lanes (in order; details on stderr):
 * Riding along in the same batch: the reference flagship lane — 13.png,
   reference-EXACT Bernoulli mask, p=0.5, SNR 10 (BASELINE.md
   CSMRI/SVRG/BM3D: 22.8 dB).
+* A TURBO lane: the same batch at the grid-aligned stride-2 search +
+  Pallas-matcher operating point (data/bm3d_pallas_v5e.json) with its own
+  per-lane tuned configs (data/set12_csmri_turbo_tuned.json) — recorded as
+  ``turbo_*`` fields (faster AND better on the VD lanes; the headline
+  metric stays at the full-search point for flagship-lane quality).
 * A reference-exact-mask Set12 aggregate: the same images with uniform
   Bernoulli masks (keep_low_freq=0, the reference's exact problem,
   ``/root/reference/problems/CSMRI.py:43-45``), per-lane tuned from

@@ -24,7 +24,14 @@ TPU-native design choices (vs. the CPU algorithm's irregular loops):
   orthonormal Walsh-Hadamard transform along the group axis — all MXU work.
 * **Aggregation by scatter-add** with per-group weights ``1/(sigma^2 N_kept)``
   (hard) / ``1/(sigma^2 ||W||^2)`` (Wiener) times a 2-D Kaiser window,
-  identical weighting to the reference algorithm.
+  identical weighting to the reference algorithm. With grid-aligned search
+  (``search_step`` a multiple of ``step``) the scatter disappears entirely:
+  members land on the reference lattice and aggregation becomes a one-hot
+  MXU contraction + static clamp-shift matmuls (``_aggregate_dense``).
+* **Optional fused Pallas matcher** (``matcher="pallas"``,
+  ``ops/pallas/bm3d_match.py``): the whole search VMEM-resident with online
+  top-K. Measured slower than the XLA matcher at the full 289-offset search
+  but the fastest engine at stride 2 (``data/bm3d_pallas_v5e.json``).
 * **Native image batching.** The whole pipeline carries an explicit leading
   batch axis: gathers use flat global indices into (B*P, 64) patch tables and
   aggregation is one flat scatter into (B*H*W,). This is 1-2 orders of
@@ -90,7 +97,7 @@ class BM3DParams:
     # contraction over group slots plus S static shifted adds — no scatter
     # anywhere. Quality tradeoff is real but modest (standalone sigma=25
     # denoise on 13.png: 25.40 / 24.89 / 24.50 dB at stride 1/2/4); measured
-    # end-to-end numbers in data/bm3d_stride_v5e.json.
+    # end-to-end numbers in data/bm3d_pallas_v5e.json (flagship table).
 
 
 def _ref_grid(size: int, block: int, step: int) -> np.ndarray:
