@@ -242,6 +242,33 @@ class TestMatchingCostKnobs:
         mse_got = float(np.mean((got[0] - clean) ** 2))
         assert mse_got < mse_ref * 1.05
 
+    def test_misaligned_stride_falls_back_to_scatter(self, rng):
+        """search_step not a multiple of the reference-grid step cannot use
+        the dense lattice aggregation — the kernel must fall back to the
+        scatter path and still denoise."""
+        from pnp_svrg_tpu.denoisers.bm3d import BM3DParams, bm3d_denoise
+
+        clean, noisy = self._noisy(rng)
+        out = np.asarray(bm3d_denoise(
+            jnp.asarray(noisy), 0.1, params=BM3DParams(search=6, search_step=3)
+        ))
+        mse_noisy = float(np.mean((noisy - clean) ** 2))
+        assert float(np.mean((out - clean) ** 2)) < 0.5 * mse_noisy
+
+    def test_matcher_auto_is_xla_on_cpu(self, rng):
+        """matcher="auto" must route to the XLA matcher on CPU backends
+        (identical output to the explicit xla path)."""
+        from pnp_svrg_tpu.denoisers.bm3d import BM3DParams, bm3d_denoise
+
+        _, noisy = self._noisy(rng)
+        ref = np.asarray(bm3d_denoise(jnp.asarray(noisy), 0.1,
+                                      params=BM3DParams(search=6)))
+        got = np.asarray(bm3d_denoise(
+            jnp.asarray(noisy), 0.1,
+            params=BM3DParams(search=6, matcher="auto"),
+        ))
+        np.testing.assert_array_equal(got, ref)
+
     def test_search_step_offsets_include_zero(self):
         """The strided offset set must contain the self-match (0, 0) even
         when search is not a multiple of search_step."""
