@@ -620,8 +620,16 @@ def main():
             jax.random.PRNGKey(0), img01, kernel="Minimal", scale_percent=100,
             snr=5,
         )
+        # The operating point travels with the tuned config (the stride
+        # knobs need their own tuned eta/mod — see CLAUDE.md).
         den_db = BM3DDenoiser(
-            sigma_modifier=db_cfg["sigma_modifier"], params=BM3DParams(search=8)
+            sigma_modifier=db_cfg["sigma_modifier"],
+            params=BM3DParams(
+                search=8,
+                search_step=int((db_tuned or {}).get("search_step", 1)),
+                matcher=str((db_tuned or {}).get("matcher", "xla")),
+                match_dtype=str((db_tuned or {}).get("match_dtype", "float32")),
+            ),
         )
 
         def run_deblur(key):
@@ -684,7 +692,13 @@ def main():
             scale_percent=50, snr=20,
         )
         den_sr = BM3DDenoiser(
-            sigma_modifier=sr_cfg["sigma_modifier"], params=BM3DParams(search=8)
+            sigma_modifier=sr_cfg["sigma_modifier"],
+            params=BM3DParams(
+                search=8,
+                search_step=int((sr_tuned or {}).get("search_step", 1)),
+                matcher=str((sr_tuned or {}).get("matcher", "xla")),
+                match_dtype=str((sr_tuned or {}).get("match_dtype", "float32")),
+            ),
         )
         sr_out = pnp_svrg(
             sprob, den_sr, eta=sr_cfg["eta"], n_outer=sr_outer, t2=sr_t2,

@@ -45,6 +45,13 @@ def main(argv=None):
                         default=None, metavar=("N_OUTER", "T2"))
     parser.add_argument("--mb", type=int, default=5000)
     parser.add_argument("--chunk", type=int, default=9)
+    parser.add_argument("--search-step", type=int, default=1,
+                        help="BM3D candidate-offset stride (grid-aligned "
+                             "search; see data/bm3d_pallas_v5e.json)")
+    parser.add_argument("--matcher", default="xla",
+                        choices=["xla", "pallas", "auto"])
+    parser.add_argument("--match-dtype", default="float32",
+                        choices=["float32", "bfloat16"])
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
     budgets = args.budgets or [(4, 6), (6, 8)]
@@ -88,7 +95,9 @@ def main(argv=None):
         eta = jnp.asarray([c[0] for c in chunk], jnp.float32)
         dec = jnp.asarray([c[1] for c in chunk], jnp.float32)
         mod = jnp.asarray([c[2] for c in chunk], jnp.float32)
-        den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(search=8))
+        den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(
+            search=8, search_step=args.search_step, matcher=args.matcher,
+            match_dtype=args.match_dtype))
         out = pnp_svrg(
             batched, den, eta=eta, n_outer=n_outer, t2=t2,
             mini_batch_size=args.mb, lr_decay=dec, key=jax.random.PRNGKey(2),
@@ -121,7 +130,9 @@ def main(argv=None):
         "image": args.image, "kernel": args.kernel, "scale": args.scale,
         "snr": args.snr,
     }
-    record = {"psnr_db": best[0], **best[1], "provenance": provenance}
+    record = {"psnr_db": best[0], **best[1],
+              "search_step": args.search_step, "matcher": args.matcher,
+              "match_dtype": args.match_dtype, "provenance": provenance}
     print(json.dumps(record))
     if args.out:
         with open(args.out, "w") as f:

@@ -23,6 +23,13 @@ def main(argv=None):
     ap.add_argument("--search", type=int, default=12)
     ap.add_argument("--match-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--search-step", type=int, default=1)
+    ap.add_argument("--matcher", default="xla",
+                    choices=["xla", "pallas", "auto"])
+    ap.add_argument("--tuned-json", default=None,
+                    help="per-lane tuned config json (default: the headline "
+                         "set12_csmri_tuned.json; pass the turbo json when "
+                         "tracing a stride operating point)")
     ap.add_argument("--outer", type=int, default=4,
                     help="n_outer for the traced run (smaller than the "
                     "bench's 16 to keep the trace compact; per-iteration "
@@ -51,7 +58,7 @@ def main(argv=None):
     from pnp_svrg_tpu.utils.io import set12_paths, load_image, resolve_data_path
 
     h = w = 128
-    tuned_path = os.path.join(
+    tuned_path = args.tuned_json or os.path.join(
         os.path.dirname(__file__), "..", "data", "set12_csmri_tuned.json"
     )
     tuned = json.load(open(tuned_path)) if os.path.exists(tuned_path) else None
@@ -76,7 +83,8 @@ def main(argv=None):
         mod = jnp.full((bsz,), 1.0, jnp.float32)
 
     den = BM3DDenoiser(sigma_modifier=mod, params=BM3DParams(
-        search=args.search, match_dtype=args.match_dtype))
+        search=args.search, match_dtype=args.match_dtype,
+        search_step=args.search_step, matcher=args.matcher))
 
     def run(key):
         out = pnp_svrg(batched, den, eta=eta, n_outer=args.outer, t2=10,
