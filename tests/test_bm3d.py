@@ -269,6 +269,23 @@ class TestMatchingCostKnobs:
         ))
         np.testing.assert_array_equal(got, ref)
 
+    def test_pallas_scatter_matches_xla_scatter(self, rng):
+        """The VMEM-resident row-RMW scatter kernel (interpret mode) must
+        bit-match XLA's .at[].add for arbitrary collision patterns,
+        including the padded-chunk tail."""
+        from pnp_svrg_tpu.ops.pallas.bm3d_scatter import bm3d_scatter_pallas
+
+        b, p, w, t = 2, 300, 128, 200
+        idx = jnp.asarray(rng.integers(0, t, (b, p)), np.int32)
+        upd = jnp.asarray(rng.standard_normal((b, p, w)), jnp.float32)
+        flat_idx = (idx + (jnp.arange(b) * t)[:, None]).reshape(-1)
+        ref = jnp.zeros((b * t, w), jnp.float32).at[flat_idx].add(
+            upd.reshape(-1, w)
+        ).reshape(b, t, w)
+        got = bm3d_scatter_pallas(idx, upd, t, chunk=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
     def test_search_step_offsets_include_zero(self):
         """The strided offset set must contain the self-match (0, 0) even
         when search is not a multiple of search_step."""
