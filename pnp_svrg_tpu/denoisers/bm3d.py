@@ -86,7 +86,9 @@ class BM3DParams:
     # semantics (exact top-K, ascending, first-index ties; measured 100%
     # set agreement, order flips only at fp near-ties). "pallas_interpret"
     # runs the same kernel in interpreter mode (CPU tests). Measured head-
-    # to-head in data/bm3d_pallas_v5e.json; "auto" = pallas on TPU backends.
+    # to-head in data/bm3d_pallas_v5e.json; "auto" = pallas on TPU backends
+    # when the offset set is small (<=128 — the measured crossover; the XLA
+    # matcher wins at the full 289-offset search).
     search_step: int = 1  # Candidate-offset stride: offsets are multiples of
     # search_step within the +-search window (1 = the canonical exhaustive
     # search). Setting it to a multiple of ``step`` is the TPU-native "grid-
@@ -441,9 +443,17 @@ def bm3d_denoise_batch(
 
     # Matching engine selection: the Pallas kernel covers the standard
     # (unbounded) path; row-sharded bounds keep the XLA matcher.
+    # "auto" is evidence-based: the fused kernel wins only when the offset
+    # set is small (measured crossover on v5e: 0.64 ms at S=81 vs the XLA
+    # matcher's 2.78 ms at S=289, but 3.69 ms Pallas at S=289 —
+    # data/bm3d_pallas_v5e.json + data/flagship_profile_turbo_v5e.json).
     use_pallas_match = row_valid_bounds is None and (
         p.matcher in ("pallas", "pallas_interpret")
-        or (p.matcher == "auto" and jax.default_backend() == "tpu")
+        or (
+            p.matcher == "auto"
+            and jax.default_backend() == "tpu"
+            and len(offsets) <= 128
+        )
     )
 
     def match(imgs, group_k):

@@ -306,6 +306,30 @@ class TestBenchTuners:
         assert np.isfinite(rec["psnr_db"])
         assert rec["eta"] in (0.05, 0.1)
 
+    def test_sweep_sampratio_all_problem_factories(self, tmp_path):
+        """The sweep example's three problem factories (reference get_problem
+        parity: CSMRI / DeblurSR / PR) each run a tiny lockstep search
+        end-to-end and land in one CSV."""
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        out = tmp_path / "sweep.csv"
+        proc = subprocess.run(
+            [sys.executable, str(repo / "examples" / "sweep_sampratio.py"),
+             "--cpu", "--problems", "csmri", "deblur", "pr",
+             "--images", "1", "--size", "32", "--ratios", "0.5",
+             "--algos", "svrg", "--denoisers", "tv",
+             "--max-evals", "2", "--cand", "2", "--n-iters", "6",
+             "--out", str(out)],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        text = out.read_text()
+        for name in ("csmri", "deblur", "pr"):
+            assert f"\n{name}," in text or text.startswith(f"{name},"), name
+
     def test_tune_pr_chunk_not_multiple_of_replicas(self):
         import subprocess
         import sys
