@@ -286,6 +286,23 @@ class TestMatchingCostKnobs:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
 
+    def test_bounded_rows_disable_dense_aggregation(self, rng):
+        """row_valid_bounds (the spatial-sharding path) must route
+        grid-aligned strides through the scatter path with bound-restricted
+        matching — output stays finite and denoises inside the bounds."""
+        from pnp_svrg_tpu.denoisers.bm3d import BM3DParams, bm3d_denoise_batch
+
+        clean, noisy = self._noisy(rng)
+        x = jnp.asarray(noisy)[None]
+        out = np.asarray(bm3d_denoise_batch(
+            x, 0.1, params=BM3DParams(search=8, search_step=4),
+            row_valid_bounds=(8, x.shape[1] - 8),
+        ))
+        assert np.isfinite(out[:, 8:-8]).all()
+        mse_noisy = float(np.mean((noisy[8:-8] - clean[8:-8]) ** 2))
+        mse_got = float(np.mean((out[0, 8:-8] - clean[8:-8]) ** 2))
+        assert mse_got < 0.6 * mse_noisy
+
     def test_search_step_offsets_include_zero(self):
         """The strided offset set must contain the self-match (0, 0) even
         when search is not a multiple of search_step."""
