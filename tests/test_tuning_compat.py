@@ -306,6 +306,30 @@ class TestBenchTuners:
         assert np.isfinite(rec["psnr_db"])
         assert rec["eta"] in (0.05, 0.1)
 
+    def test_summarize_sweep_table(self, tmp_path, capsys):
+        """tools/summarize_sweep.py renders the per-cell mean table from a
+        CSV with best_psnr columns (no init recomputation needed)."""
+        import importlib.util
+        from pathlib import Path
+
+        csv_path = tmp_path / "s.csv"
+        csv_path.write_text(
+            "problem,denoiser,algorithm,ratio,snr,image,best_loss,best_psnr,"
+            "best_params\n"
+            "csmri,tv,gd,0.5,20.0,01.png,-2.0,22.0,{}\n"
+            "csmri,tv,gd,0.5,20.0,02.png,-3.0,24.0,{}\n"
+            "csmri,tv,gd,0.8,20.0,01.png,-4.0,28.0,{}\n"
+        )
+        repo = Path(__file__).resolve().parents[1]
+        spec = importlib.util.spec_from_file_location(
+            "summarize_sweep", repo / "tools" / "summarize_sweep.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main([str(csv_path)])
+        out = capsys.readouterr().out
+        assert "| csmri | tv | gd | 23.00 | 28.00 |" in out
+
     def test_sweep_sampratio_all_problem_factories(self, tmp_path):
         """The sweep example's three problem factories (reference get_problem
         parity: CSMRI / DeblurSR / PR) each run a tiny lockstep search
